@@ -1,0 +1,13 @@
+"""Test configuration: run all JAX work on a virtual 8-device CPU mesh.
+
+Real-TPU runs happen via bench.py / __graft_entry__.py; tests must be
+deterministic and exercise the multi-chip sharding paths without hardware
+(SURVEY.md §4: "multi-chip tests ... fake an 8-device mesh").
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
