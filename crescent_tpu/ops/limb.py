@@ -75,17 +75,22 @@ def carry_sweep(acc: jax.Array, drop_final: bool = False) -> jax.Array:
 
     acc: (..., L) uint32.  Returns (..., L) if drop_final else (..., L+1)
     with the final carry appended (carry < 2^16 guaranteed for our sizes).
+
+    Implemented as a lax.scan over the limb axis: the chain is inherently
+    sequential, and a one-body loop keeps the HLO graph small (an unrolled
+    chain made XLA compile time explode on deep expressions).
     """
-    L = acc.shape[-1]
-    out = []
-    c = jnp.zeros(acc.shape[:-1], dtype=U32)
-    for k in range(L):
-        v = acc[..., k] + c
-        out.append(v & LIMB_MASK)
-        c = v >> LIMB_BITS
-    if not drop_final:
-        out.append(c)
-    return jnp.stack(out, axis=-1)
+    moved = jnp.moveaxis(acc, -1, 0)  # (L, ...)
+
+    def body(c, v):
+        v = v + c
+        return v >> LIMB_BITS, v & LIMB_MASK
+
+    c, out = jax.lax.scan(body, jnp.zeros(moved.shape[1:], dtype=U32), moved)
+    out = jnp.moveaxis(out, 0, -1)
+    if drop_final:
+        return out
+    return jnp.concatenate([out, c[..., None]], axis=-1)
 
 
 # ---------------------------------------------------------------------------
@@ -137,14 +142,18 @@ def add_raw(x: jax.Array, y: jax.Array) -> jax.Array:
 
 def sub_raw(x: jax.Array, y: jax.Array) -> tuple[jax.Array, jax.Array]:
     """x - y with borrow chain. Returns ((..., L) limbs, (...,) borrow 0/1)."""
-    L = x.shape[-1]
-    out = []
-    borrow = jnp.zeros(x.shape[:-1], dtype=U32)
-    for k in range(L):
-        v = x[..., k] + (1 << LIMB_BITS) - y[..., k] - borrow
-        out.append(v & LIMB_MASK)
-        borrow = 1 - (v >> LIMB_BITS)
-    return jnp.stack(out, axis=-1), borrow
+    xm = jnp.moveaxis(x, -1, 0)
+    ym = jnp.moveaxis(y, -1, 0)
+
+    def body(borrow, xy):
+        xv, yv = xy
+        v = xv + (1 << LIMB_BITS) - yv - borrow
+        return 1 - (v >> LIMB_BITS), v & LIMB_MASK
+
+    borrow, out = jax.lax.scan(
+        body, jnp.zeros(xm.shape[1:], dtype=U32), (xm, ym)
+    )
+    return jnp.moveaxis(out, 0, -1), borrow
 
 def geq(x: jax.Array, y: jax.Array) -> jax.Array:
     """x >= y as (...,) uint32 0/1."""

@@ -1,0 +1,195 @@
+"""Multi-scalar multiplication (Pippenger) on TPU.
+
+The single hottest op in the whole framework: Groth16 prove is 4 big MSMs,
+KZG commit/open is an MSM, Pedersen commitments are small MSMs
+(SURVEY.md §2c, BASELINE.json "MSM points/s/chip").
+
+TPU-shaped Pippenger (no scatter-unfriendly inner loops):
+  * window width ``c`` bits => W = ceil(256/c) windows, B = 2^c buckets each.
+  * Phase 1 (accumulate): L parallel lanes; a `lax.scan` of N/L steps where
+    each step gathers the (lane, window)-addressed buckets, performs ONE
+    batched mixed point-add of shape (L, W), and scatters back.  All windows
+    of a point are processed in the same step, so each point is loaded once.
+  * Phase 2: tree-reduce the L lane-local bucket sets (log L batched adds of
+    shape (W, B)).
+  * Phase 3: per-window suffix running-sum over buckets (B sequential steps,
+    batched over W windows): sum_b b*bucket_b.
+  * Phase 4: Horner combine across windows (c doublings + 1 add per window).
+
+Multi-chip: phase 1 shards over the point axis (pure data parallel), phase 2's
+tree reduction becomes a `psum`-style collective of bucket sets — see
+crescent_tpu.parallel.sharded_msm.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.curves import Curve
+from . import limb
+from .ec import CurveCtx, JPoints, get_curve_ctx
+from .limb import LIMB_BITS, NLIMB, U32
+
+
+def scalar_digits(scalars: jax.Array, c: int) -> jax.Array:
+    """(N, 16) 16-bit limbs -> (N, W) c-bit unsigned window digits.
+
+    c must divide LIMB_BITS or be a multiple of it for a pure reshape; the
+    general path extracts bits (still vectorized).
+    """
+    N = scalars.shape[0]
+    nbits = NLIMB * LIMB_BITS
+    W = (nbits + c - 1) // c
+    if LIMB_BITS % c == 0:
+        per = LIMB_BITS // c
+        parts = [(scalars >> (c * i)) & ((1 << c) - 1) for i in range(per)]
+        # interleave: limb j gives digits j*per + i
+        stacked = jnp.stack(parts, axis=-1)          # (N, 16, per)
+        return stacked.reshape(N, W)
+    # generic bit gather
+    bits = []
+    for i in range(nbits):
+        bits.append((scalars[:, i // LIMB_BITS] >> (i % LIMB_BITS)) & 1)
+    bits = jnp.stack(bits, axis=-1)                   # (N, 256)
+    pad = W * c - nbits
+    bits = jnp.pad(bits, ((0, 0), (0, pad)))
+    bits = bits.reshape(N, W, c)
+    weights = (1 << jnp.arange(c, dtype=U32))
+    return jnp.sum(bits * weights, axis=-1)
+
+
+def _msm_impl(ctx: CurveCtx, px, py, pvalid, digits, c: int, lanes: int):
+    """Core Pippenger given precomputed digits. All args device arrays."""
+    N = px.shape[0]
+    W = digits.shape[1]
+    B = 1 << c
+    L = min(lanes, N)
+    steps = (N + L - 1) // L
+    Npad = steps * L
+
+    def padpts(a, fill):
+        return jnp.pad(a, [(0, Npad - N)] + [(0, 0)] * (a.ndim - 1), constant_values=fill)
+
+    px = padpts(px, 0)
+    py = padpts(py, 0)
+    pvalid = padpts(pvalid, 0)
+    digits = padpts(digits, 0)
+
+    # reshape to (steps, L, ...)
+    px = px.reshape(steps, L, NLIMB)
+    py = py.reshape(steps, L, NLIMB)
+    pvalid = pvalid.reshape(steps, L)
+    digits = digits.reshape(steps, L, W)
+
+    fp = ctx.fp
+    # lane-local buckets: (L, W, B) points
+    buckets = ctx.identity((L, W, B))
+
+    lane_idx = jnp.broadcast_to(jnp.arange(L)[:, None], (L, W))
+    win_idx = jnp.broadcast_to(jnp.arange(W)[None, :], (L, W))
+
+    def step(buckets, inp):
+        sx, sy, sval, sdig = inp           # (L,16),(L,16),(L,),(L,W)
+        cur = JPoints(
+            buckets.x[lane_idx, win_idx, sdig],
+            buckets.y[lane_idx, win_idx, sdig],
+            buckets.z[lane_idx, win_idx, sdig],
+        )                                   # (L, W, 16)
+        qx = jnp.broadcast_to(sx[:, None, :], (L, W, NLIMB))
+        qy = jnp.broadcast_to(sy[:, None, :], (L, W, NLIMB))
+        # skip digit-0 (bucket 0 unused) and invalid (padded/infinity) points
+        valid = (sdig != 0) & (sval[:, None] != 0)
+        new = ctx.add_mixed(cur, qx, qy, valid.astype(U32))
+        buckets = JPoints(
+            buckets.x.at[lane_idx, win_idx, sdig].set(new.x),
+            buckets.y.at[lane_idx, win_idx, sdig].set(new.y),
+            buckets.z.at[lane_idx, win_idx, sdig].set(new.z),
+        )
+        return buckets, None
+
+    buckets, _ = jax.lax.scan(step, buckets, (px, py, pvalid, digits))
+
+    # Phase 2: reduce lanes (tree over axis 0)
+    n = L
+    while n > 1:
+        half = n // 2
+        top = JPoints(buckets.x[half : 2 * half], buckets.y[half : 2 * half], buckets.z[half : 2 * half])
+        bot = JPoints(buckets.x[:half], buckets.y[:half], buckets.z[:half])
+        red = ctx.add(bot, top)
+        if n % 2:
+            buckets = JPoints(
+                jnp.concatenate([red.x, buckets.x[n - 1 :]], 0),
+                jnp.concatenate([red.y, buckets.y[n - 1 :]], 0),
+                jnp.concatenate([red.z, buckets.z[n - 1 :]], 0),
+            )
+        else:
+            buckets = red
+        n = (n + 1) // 2
+    wb = JPoints(buckets.x[0], buckets.y[0], buckets.z[0])  # (W, B)
+
+    # Phase 3: suffix running sums per window.
+    #   running_d = sum_{b>=d} bucket_b ; acc = sum_{d>=1} running_d = sum b*bucket_b
+    def phase3(carry, d):
+        running, acc = carry
+        idx = B - 1 - d
+        bkt = JPoints(wb.x[:, idx], wb.y[:, idx], wb.z[:, idx])  # (W, 16)
+        running = ctx.add(running, bkt)
+        acc = ctx.add(acc, running)
+        return (running, acc), None
+
+    run0 = ctx.identity((W,))
+    acc0 = ctx.identity((W,))
+    (_, acc), _ = jax.lax.scan(phase3, (run0, acc0), jnp.arange(B - 1))
+
+    # Phase 4: Horner over windows, top first: res = 2^c * res + acc[w].
+    # (Doubling the identity is identity, so the first iteration needs no
+    # special case; scan keeps the compiled graph at one double+add body.)
+    def phase4(res, w):
+        idx = W - 1 - w
+        res = jax.lax.fori_loop(0, c, lambda _, r: ctx.double(r), res)
+        res = ctx.add(res, JPoints(acc.x[idx], acc.y[idx], acc.z[idx]))
+        return res, None
+
+    res, _ = jax.lax.scan(phase4, ctx.identity(()), jnp.arange(W))
+    return res
+
+
+class MSM:
+    """MSM executor for one curve; jit-cached per (N, c, lanes) shape."""
+
+    def __init__(self, curve: Curve, c: int = 8, lanes: int = 128):
+        self.ctx = get_curve_ctx(curve)
+        self.c = c
+        self.lanes = lanes
+        self._impl = jax.jit(
+            functools.partial(_msm_impl, self.ctx, c=c, lanes=lanes)
+        )
+
+    # -- device API ---------------------------------------------------------
+    def run_device(self, px, py, pvalid, scalars) -> JPoints:
+        """px/py: (N,16) Montgomery affine; pvalid: (N,) 0/1;
+        scalars: (N,16) standard-form limbs. Returns a single Jacobian point."""
+        digits = scalar_digits(scalars, self.c)
+        return self._impl(px, py, pvalid, digits)
+
+    # -- host convenience ---------------------------------------------------
+    def run_host(self, scalars: list[int], points: list):
+        """Host ints/affine points -> host affine result (oracle-friendly)."""
+        fp = self.ctx.fp
+        xs = [p[0] if p else 0 for p in points]
+        ys = [p[1] if p else 1 for p in points]
+        valid = jnp.asarray([0 if p is None else 1 for p in points], dtype=U32)
+        px = jnp.asarray(fp.to_mont_host(xs))
+        py = jnp.asarray(fp.to_mont_host(ys))
+        sc = jnp.asarray(limb.ints_to_limbs([s % self.ctx.curve.n for s in scalars]))
+        res = self.run_device(px, py, valid, sc)
+        return self.ctx.points_to_host(JPoints(res.x[None], res.y[None], res.z[None]))[0]
+
+
+@functools.lru_cache(maxsize=None)
+def get_msm(curve: Curve, c: int = 8, lanes: int = 128) -> MSM:
+    return MSM(curve, c, lanes)

@@ -1,0 +1,142 @@
+"""Number-theoretic transform over BN254 Fr (and any NTT-friendly ModCtx).
+
+Backs the QAP witness map (Groth16 prover's h-polynomial, reference
+forks/groth16/src/r1cs_to_qap.rs) and the KZG range-proof polynomial ops
+(creds/src/rangeproof.rs:167).  BASELINE.json's second headline metric is
+"NTT butterflies/s/chip".
+
+TPU shape: iterative Cooley–Tukey with one bit-reversal gather up front and
+log2(N) butterfly stages, each stage a pure reshape + batched Montgomery
+multiply (no gathers inside the loop).  Twiddles are precomputed per stage on
+host and indexed as compile-time constants.  Multi-chip NTT (all-to-all
+butterfly exchange) lives in crescent_tpu.parallel.sharded_ntt.
+
+Evaluation-domain semantics match arkworks Radix2EvaluationDomain: natural
+order in/out, `ifft = (1/N) * ntt with w^-1`, coset ops scale by g^i.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import limb
+from .limb import NLIMB, U32, ModCtx
+
+
+def bit_reverse_perm(n: int) -> np.ndarray:
+    bits = n.bit_length() - 1
+    idx = np.arange(n)
+    rev = np.zeros(n, dtype=np.int32)
+    for b in range(bits):
+        rev |= ((idx >> b) & 1) << (bits - 1 - b)
+    return rev
+
+
+class NTTDomain:
+    """Radix-2 evaluation domain of size N=2^k over a ModCtx field."""
+
+    def __init__(self, ctx: ModCtx, n: int):
+        assert n & (n - 1) == 0, "domain size must be a power of two"
+        p = ctx.modulus
+        assert (p - 1) % n == 0, "field lacks required 2-adicity"
+        self.ctx = ctx
+        self.n = n
+        self.logn = n.bit_length() - 1
+
+        # host: primitive n-th root (from the field's 2-adic root tower)
+        from ..core.fields import PrimeField
+
+        f = PrimeField(p)
+        self.w = f.root_of_unity(n) if n > 1 else 1
+        self.w_inv = pow(self.w, -1, p) if n > 1 else 1
+        self.n_inv = pow(n, -1, p)
+        self.group_gen = self.w
+
+        # per-stage twiddles in Montgomery form: stage s has half=2^s,
+        # twiddles w^(j * n / 2^(s+1)) for j in [0, 2^s)
+        def stage_twiddles(root):
+            tw = []
+            for s in range(self.logn):
+                half = 1 << s
+                step = n // (2 * half)
+                vals = [pow(root, j * step, p) for j in range(half)]
+                tw.append(jnp.asarray(ctx.to_mont_host(vals)))
+            return tw
+
+        self.tw_fwd = stage_twiddles(self.w)
+        self.tw_inv = stage_twiddles(self.w_inv)
+        self.perm = jnp.asarray(bit_reverse_perm(n))
+        self.n_inv_mont = jnp.asarray(ctx.to_mont_host([self.n_inv])[0])
+
+        self._fwd = jax.jit(functools.partial(self._transform, inverse=False))
+        self._bwd = jax.jit(functools.partial(self._transform, inverse=True))
+
+    # -- device -------------------------------------------------------------
+    def _transform(self, x: jax.Array, inverse: bool) -> jax.Array:
+        """x: (n, 16) Montgomery coeffs -> (n, 16) Montgomery evals."""
+        ctx = self.ctx
+        n = self.n
+        x = jnp.take(x, self.perm, axis=0)
+        tws = self.tw_inv if inverse else self.tw_fwd
+        for s in range(self.logn):
+            half = 1 << s
+            blocks = n // (2 * half)
+            v = x.reshape(blocks, 2, half, NLIMB)
+            a = v[:, 0]
+            b = v[:, 1]
+            t = ctx.mont_mul(b, jnp.broadcast_to(tws[s][None], b.shape))
+            out0 = ctx.add_mod(a, t)
+            out1 = ctx.sub_mod(a, t)
+            x = jnp.stack([out0, out1], axis=1).reshape(n, NLIMB)
+        if inverse:
+            x = ctx.mont_mul(x, jnp.broadcast_to(self.n_inv_mont, x.shape))
+        return x
+
+    def ntt(self, x: jax.Array) -> jax.Array:
+        """coefficients -> evaluations on the domain (both Montgomery form)."""
+        return self._fwd(x)
+
+    def intt(self, x: jax.Array) -> jax.Array:
+        """evaluations -> coefficients."""
+        return self._bwd(x)
+
+    def coset_scale(self, x: jax.Array, g: int) -> jax.Array:
+        """multiply coefficient i by g^i (host-known g)."""
+        p = self.ctx.modulus
+        powers = [pow(g, i, p) for i in range(self.n)]
+        gp = jnp.asarray(self.ctx.to_mont_host(powers))
+        return self.ctx.mont_mul(x, gp)
+
+    def coset_ntt(self, x: jax.Array, g: int) -> jax.Array:
+        return self.ntt(self.coset_scale(x, g))
+
+    def coset_intt(self, x: jax.Array, g: int) -> jax.Array:
+        return self.coset_scale(self.intt(x), pow(g, -1, self.ctx.modulus))
+
+    # -- host oracle --------------------------------------------------------
+    def ntt_host(self, coeffs: list[int]) -> list[int]:
+        p, n = self.ctx.modulus, self.n
+        return [
+            sum(coeffs[j] * pow(self.w, j * k, p) for j in range(n)) % p
+            for k in range(n)
+        ]
+
+    def intt_host(self, evals: list[int]) -> list[int]:
+        p, n = self.ctx.modulus, self.n
+        return [
+            self.n_inv * sum(evals[j] * pow(self.w_inv, j * k, p) for j in range(n)) % p
+            for k in range(n)
+        ]
+
+    def vanishing_on_coset(self, g: int) -> int:
+        """Z_H(g*w^i) = g^n - 1, constant on the coset."""
+        return (pow(g, self.n, self.ctx.modulus) - 1) % self.ctx.modulus
+
+
+@functools.lru_cache(maxsize=None)
+def get_domain(modulus: int, n: int) -> NTTDomain:
+    return NTTDomain(limb.get_ctx(modulus), n)
