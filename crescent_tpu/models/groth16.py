@@ -1,0 +1,433 @@
+"""Groth16 zkSNARK on TPU: setup, prove, verify, rerandomize.
+
+TPU-native equivalent of the reference fork forks/groth16/ (ark-groth16 0.4 +
+Crescent's additions):
+  * `setup`   — per-circuit SRS from toxic randomness (generator.rs):
+                QAP evaluations at tau on host (barycentric Lagrange), all
+                group elements via batched fixed-base muls on TPU.
+  * `prove`   — QAP witness map (r1cs_to_qap.rs) as coset NTTs + the 4 big
+                MSMs (prover.rs) on TPU.  This is the headline BASELINE.json
+                metric ("Groth16 prove wall-clock (rs256)").
+  * `verify`  — 3 pairings on host (verifier.rs; ms-scale, interop-critical).
+  * `prepare_inputs` / `verify_with_prepared_inputs` — the split verifier API
+    (verifier.rs:25,44) Crescent's show protocol needs so it can substitute a
+    *commitment* to the public-input MSM.
+  * `rerandomize_proof` — BKSV20 fig.1 unlinkable rerandomization
+    (prover.rs:227-255): A' = r1*A, B' = (1/r1)*B + r2*delta_g2,
+    C' = C + r1*r2*A.
+
+Scalars at the API boundary are Python ints (exact); points are host affine
+tuples.  Device mirrors of the SRS tables are cached on first use.
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.curves import BN254G2, BN254_G1, AffinePoint, G2Point
+from ..core.fields import BN254_FR as R
+from ..core.fields import Fr
+from ..core import pairing as pr
+from ..ops import limb, ntt
+from ..ops.ec import JPoints, get_curve_ctx, get_g2_ctx
+from ..ops.limb import U32
+from ..ops.msm import MSM, get_g2_msm, get_msm
+
+G1 = BN254_G1
+G2 = BN254G2
+
+
+# ---------------------------------------------------------------------------
+# R1CS container
+# ---------------------------------------------------------------------------
+
+@dataclass
+class R1CS:
+    """Rank-1 constraint system over BN254 Fr.
+
+    Variables are indexed [1, instance..., witness...]; index 0 is the
+    constant one.  `num_instance` counts the constant, matching arkworks'
+    `num_instance_variables` convention (circom r1cs header layout).
+    Each constraint is (A_row, B_row, C_row): lists of (var_idx, coeff).
+    """
+
+    num_instance: int
+    num_witness: int
+    constraints: list
+
+    @property
+    def num_vars(self) -> int:
+        return self.num_instance + self.num_witness
+
+    def is_satisfied(self, z: list[int]) -> bool:
+        for a_row, b_row, c_row in self.constraints:
+            a = sum(c * z[i] for i, c in a_row) % R
+            b = sum(c * z[i] for i, c in b_row) % R
+            c = sum(co * z[i] for i, co in c_row) % R
+            if a * b % R != c:
+                return False
+        return True
+
+
+def dummy_circuit(log_size: int, rng: random.Random, num_public: int = 1):
+    """a*b multiplication-chain circuit akin to the reference's DummyCircuit
+    (creds/benches/proof_benchmark.rs:24, rangeproof.rs:446): configurable
+    size, first `num_public` product outputs are public inputs.
+
+    Returns (r1cs, full_assignment z)."""
+    n_cons = (1 << log_size) - 2
+    a = rng.randrange(R)
+    b = rng.randrange(R)
+    # witness: w0 = a, w1 = b, then w_{k} = w_{k-1} * b for each constraint
+    z = [1]
+    pubs = []
+    wits = [a, b]
+    cur = a
+    products = []
+    for _ in range(n_cons):
+        cur = cur * b % R
+        products.append(cur)
+    pubs = products[:num_public]
+    wits += products[num_public:]
+    # variable indexing: [1, pubs..., a, b, rest...]
+    idx_of_product = {}
+    k = 1 + num_public
+    var_a, var_b = k, k + 1
+    k += 2
+    for j, p in enumerate(products):
+        if j < num_public:
+            idx_of_product[j] = 1 + j
+        else:
+            idx_of_product[j] = k
+            k += 1
+    cons = []
+    prev = var_a
+    for j in range(n_cons):
+        out = idx_of_product[j]
+        cons.append(([(prev, 1)], [(var_b, 1)], [(out, 1)]))
+        prev = out
+    r1cs = R1CS(1 + num_public, 2 + (n_cons - num_public), cons)
+    z = [1] + pubs + [a, b] + products[num_public:]
+    assert r1cs.is_satisfied(z)
+    return r1cs, z
+
+
+# ---------------------------------------------------------------------------
+# Keys and proofs
+# ---------------------------------------------------------------------------
+
+@dataclass
+class VerifyingKey:
+    alpha_g1: AffinePoint
+    beta_g2: G2Point
+    gamma_g2: G2Point
+    delta_g2: G2Point
+    gamma_abc_g1: list  # length num_instance
+
+    def prepare(self) -> "PreparedVerifyingKey":
+        return PreparedVerifyingKey(
+            vk=self,
+            alpha_beta=pr.pairing(self.alpha_g1, self.beta_g2),
+        )
+
+
+@dataclass
+class PreparedVerifyingKey:
+    vk: VerifyingKey
+    alpha_beta: object  # Fq12
+
+
+@dataclass
+class ProvingKey:
+    vk: VerifyingKey
+    beta_g1: AffinePoint
+    delta_g1: AffinePoint
+    a_query: list        # A_i(tau)*G1, len num_vars
+    b_g1_query: list     # B_i(tau)*G1, len num_vars
+    b_g2_query: list     # B_i(tau)*G2, len num_vars
+    h_query: list        # tau^i Z(tau)/delta * G1, len domain_size-1
+    l_query: list        # (beta A_i + alpha B_i + C_i)/delta * G1 (witness)
+    _dev: dict = field(default_factory=dict, repr=False)
+
+    def device_table(self, name: str, msm_obj: MSM):
+        """Cache Montgomery-form device arrays for an SRS table."""
+        if name not in self._dev:
+            pts = getattr(self, name)
+            P = msm_obj.ctx.points_to_device(pts)
+            valid = jnp.asarray([0 if p is None else 1 for p in pts], dtype=U32)
+            self._dev[name] = (P.x, P.y, valid)
+        return self._dev[name]
+
+
+@dataclass
+class Proof:
+    a: AffinePoint
+    b: G2Point
+    c: AffinePoint
+
+
+# ---------------------------------------------------------------------------
+# QAP helpers (host, exact)
+# ---------------------------------------------------------------------------
+
+def _domain_for(r1cs: R1CS) -> ntt.NTTDomain:
+    need = len(r1cs.constraints) + r1cs.num_instance
+    n = 1
+    while n < need:
+        n *= 2
+    return ntt.get_domain(R, n)
+
+
+def _lagrange_coeffs_at(dom: ntt.NTTDomain, t: int) -> list[int]:
+    """L_j(t) for all j: (Z(t)/N) * w^j / (t - w^j)."""
+    n, w = dom.n, dom.w
+    zt = (pow(t, n, R) - 1) % R
+    factor = zt * pow(n, -1, R) % R
+    wj = 1
+    nums, dens = [], []
+    for j in range(n):
+        nums.append(factor * wj % R)
+        dens.append((t - wj) % R)
+        wj = wj * w % R
+    # batch invert dens
+    inv = _batch_inv_host(dens)
+    return [nums[j] * inv[j] % R for j in range(n)]
+
+
+def _batch_inv_host(xs: list[int]) -> list[int]:
+    prefix = [1]
+    for x in xs:
+        prefix.append(prefix[-1] * x % R)
+    total = pow(prefix[-1], -1, R)
+    out = [0] * len(xs)
+    for i in range(len(xs) - 1, -1, -1):
+        out[i] = total * prefix[i] % R
+        total = total * xs[i] % R
+    return out
+
+
+def _qap_evals_at_t(r1cs: R1CS, dom: ntt.NTTDomain, t: int):
+    """A_i(t), B_i(t), C_i(t) per variable, with libsnark-style identity rows
+    for instance variables (forks/groth16/src/r1cs_to_qap.rs semantics)."""
+    L = _lagrange_coeffs_at(dom, t)
+    nv = r1cs.num_vars
+    A = [0] * nv
+    B = [0] * nv
+    C = [0] * nv
+    for j, (ar, br, cr) in enumerate(r1cs.constraints):
+        lj = L[j]
+        for i, co in ar:
+            A[i] = (A[i] + co * lj) % R
+        for i, co in br:
+            B[i] = (B[i] + co * lj) % R
+        for i, co in cr:
+            C[i] = (C[i] + co * lj) % R
+    nc = len(r1cs.constraints)
+    for i in range(r1cs.num_instance):
+        A[i] = (A[i] + L[nc + i]) % R
+    return A, B, C
+
+
+def _matvec_evals(r1cs: R1CS, z: list[int], dom: ntt.NTTDomain):
+    """Domain evaluations a=Az, b=Bz, c=Cz (+ identity rows), host-exact."""
+    n = dom.n
+    a = [0] * n
+    b = [0] * n
+    c = [0] * n
+    for j, (ar, br, cr) in enumerate(r1cs.constraints):
+        a[j] = sum(co * z[i] for i, co in ar) % R
+        b[j] = sum(co * z[i] for i, co in br) % R
+        c[j] = sum(co * z[i] for i, co in cr) % R
+    nc = len(r1cs.constraints)
+    for i in range(r1cs.num_instance):
+        a[nc + i] = z[i]
+    return a, b, c
+
+
+# ---------------------------------------------------------------------------
+# Fixed-base batched scalar muls (device)
+# ---------------------------------------------------------------------------
+
+def fixed_base_mul(base, scalars: list[int], g2: bool = False) -> list:
+    """[k*base for k in scalars] via one batched TPU double-and-add."""
+    if not scalars:
+        return []
+    ctx = get_g2_ctx() if g2 else get_curve_ctx(G1)
+    P1 = ctx.points_to_device([base])
+    n = len(scalars)
+    npad = 1 << (n - 1).bit_length() if n > 1 else 1  # shape-bucket compiles
+    es = ctx.fctx.elem_shape
+    P = JPoints(
+        jnp.broadcast_to(P1.x[0], (npad,) + es),
+        jnp.broadcast_to(P1.y[0], (npad,) + es),
+        jnp.broadcast_to(P1.z[0], (npad,) + es),
+    )
+    padded = [s % ctx.n for s in scalars] + [0] * (npad - n)
+    kl = jnp.asarray(limb.ints_to_limbs(padded))
+    return ctx.points_to_host(ctx.scalar_mul(kl, P))[:n]
+
+
+# ---------------------------------------------------------------------------
+# Setup / Prove / Verify
+# ---------------------------------------------------------------------------
+
+def setup(r1cs: R1CS, rng: random.Random) -> ProvingKey:
+    """Generate the per-circuit SRS (reference: forks/groth16/src/generator.rs)."""
+    alpha, beta, gamma, delta, t = (rng.randrange(1, R) for _ in range(5))
+    dom = _domain_for(r1cs)
+    A, B, C = _qap_evals_at_t(r1cs, dom, t)
+    ninst = r1cs.num_instance
+    zt = (pow(t, dom.n, R) - 1) % R
+    g_inv = pow(gamma, -1, R)
+    d_inv = pow(delta, -1, R)
+
+    gamma_abc = [(beta * A[i] + alpha * B[i] + C[i]) * g_inv % R for i in range(ninst)]
+    l_scalars = [
+        (beta * A[i] + alpha * B[i] + C[i]) * d_inv % R
+        for i in range(ninst, r1cs.num_vars)
+    ]
+    h_scalars = [pow(t, i, R) * zt * d_inv % R for i in range(dom.n - 1)]
+
+    g = G1.generator
+    g2 = G2.generator()
+    # one batched fixed-base mul per group (a single compiled program each)
+    nv = r1cs.num_vars
+    g1_all = fixed_base_mul(
+        g, A + B + h_scalars + l_scalars + gamma_abc + [alpha, beta, delta]
+    )
+    a_query, rest = g1_all[:nv], g1_all[nv:]
+    b_g1_query, rest = rest[: nv], rest[nv:]
+    h_query, rest = rest[: len(h_scalars)], rest[len(h_scalars):]
+    l_query, rest = rest[: len(l_scalars)], rest[len(l_scalars):]
+    gamma_abc_g1, rest = rest[: ninst], rest[ninst:]
+    alpha_g1, beta_g1, delta_g1 = rest
+    g2_all = fixed_base_mul(g2, B + [beta, gamma, delta], g2=True)
+    b_g2_query = g2_all[:nv]
+    beta_g2, gamma_g2, delta_g2 = g2_all[nv:]
+
+    vk = VerifyingKey(alpha_g1, beta_g2, gamma_g2, delta_g2, gamma_abc_g1)
+    return ProvingKey(vk, beta_g1, delta_g1, a_query, b_g1_query, b_g2_query, h_query, l_query)
+
+
+def _compute_h(r1cs: R1CS, z: list[int], dom: ntt.NTTDomain) -> list[int]:
+    """h(x) = (A(x)B(x) - C(x)) / Z(x) via coset NTTs on TPU."""
+    ctx = dom.ctx
+    a, b, c = _matvec_evals(r1cs, z, dom)
+    am = jnp.asarray(ctx.to_mont_host(a))
+    bm = jnp.asarray(ctx.to_mont_host(b))
+    cm = jnp.asarray(ctx.to_mont_host(c))
+    g = Fr.multiplicative_generator
+    ac = dom.coset_ntt(dom.intt(am), g)
+    bc = dom.coset_ntt(dom.intt(bm), g)
+    cc = dom.coset_ntt(dom.intt(cm), g)
+    prod = ctx.sub_mod(ctx.mont_mul(ac, bc), cc)
+    zinv = pow(dom.vanishing_on_coset(g), -1, R)
+    zinv_m = jnp.asarray(ctx.to_mont_host([zinv])[0])
+    hc = ctx.mont_mul(prod, jnp.broadcast_to(zinv_m, prod.shape))
+    h = dom.coset_intt(hc, g)
+    h_ints = ctx.from_mont_host(np.asarray(h))
+    assert h_ints[-1] == 0, "h degree bound violated (unsatisfied R1CS?)"
+    return h_ints[:-1]
+
+
+def _msm_problem(pk: ProvingKey, name: str, scalars: list[int], msm_obj: MSM):
+    px, py, valid = pk.device_table(name, msm_obj)
+    n = len(scalars)
+    sc = jnp.asarray(limb.ints_to_limbs([s % R for s in scalars]))
+    return (px[:n], py[:n], valid[:n], sc)
+
+
+def prove(
+    pk: ProvingKey,
+    r1cs: R1CS,
+    z: list[int],
+    rng: random.Random,
+    r: Optional[int] = None,
+    s: Optional[int] = None,
+) -> Proof:
+    """Groth16 prove (reference forks/groth16/src/prover.rs):
+    QAP witness map (NTT) + 4 MSMs, all on TPU."""
+    r = rng.randrange(R) if r is None else r
+    s = rng.randrange(R) if s is None else s
+    dom = _domain_for(r1cs)
+    h = _compute_h(r1cs, z, dom)
+
+    msm_g1 = get_msm(G1)
+    msm_g2 = get_g2_msm()
+
+    # the 4 G1 MSMs run as one vmapped program; the G2 MSM separately
+    res4 = msm_g1.run_device_many(
+        [
+            _msm_problem(pk, "a_query", z, msm_g1),
+            _msm_problem(pk, "b_g1_query", z, msm_g1),
+            _msm_problem(pk, "h_query", h, msm_g1),
+            _msm_problem(pk, "l_query", z[r1cs.num_instance :], msm_g1),
+        ]
+    )
+    az, bz1, hq, lw = msm_g1.ctx.points_to_host(res4)
+    pg2 = _msm_problem(pk, "b_g2_query", z, msm_g2)
+    res2 = msm_g2.run_device(*pg2)
+    bz2 = msm_g2.ctx.points_to_host(
+        JPoints(res2.x[None], res2.y[None], res2.z[None])
+    )[0]
+
+    vk = pk.vk
+    # A = alpha + sum z_i A_i(t) + r*delta
+    A = G1.add(G1.add(vk.alpha_g1, az), G1.mul(r, pk.delta_g1))
+    # B(G2) = beta + sum z_i B_i(t) + s*delta ; B(G1) likewise
+    B2 = G2.add(G2.add(vk.beta_g2, bz2), G2.mul(s, vk.delta_g2))
+    B1 = G1.add(G1.add(pk.beta_g1, bz1), G1.mul(s, pk.delta_g1))
+    # C = l + h + sA + rB1 - rs*delta
+    C = G1.add(lw, hq)
+    C = G1.add(C, G1.mul(s, A))
+    C = G1.add(C, G1.mul(r, B1))
+    C = G1.add(C, G1.neg(G1.mul(r * s % R, pk.delta_g1)))
+    return Proof(A, B2, C)
+
+
+def prepare_inputs(vk: VerifyingKey, public_inputs: list[int]) -> AffinePoint:
+    """gamma_abc[0] + sum_i pub_i * gamma_abc[i+1]  (verifier.rs:25)."""
+    assert len(public_inputs) == len(vk.gamma_abc_g1) - 1
+    acc = vk.gamma_abc_g1[0]
+    if public_inputs:
+        m = get_msm(G1, lanes=8)
+        acc = G1.add(acc, m.run_host(public_inputs, vk.gamma_abc_g1[1:]))
+    return acc
+
+
+def verify_with_prepared_inputs(
+    pvk: PreparedVerifyingKey, proof: Proof, prepared: AffinePoint
+) -> bool:
+    """e(A,B) == e(alpha,beta) * e(prepared, gamma) * e(C, delta)."""
+    vk = pvk.vk
+    f = pr.multi_pairing(
+        [
+            (proof.a, proof.b),
+            (G1.neg(prepared), vk.gamma_g2),
+            (G1.neg(proof.c), vk.delta_g2),
+        ]
+    )
+    return f == pvk.alpha_beta
+
+
+def verify(pvk: PreparedVerifyingKey, proof: Proof, public_inputs: list[int]) -> bool:
+    return verify_with_prepared_inputs(pvk, proof, prepare_inputs(pvk.vk, public_inputs))
+
+
+def rerandomize_proof(
+    vk: VerifyingKey, proof: Proof, rng: random.Random,
+    r1: Optional[int] = None, r2: Optional[int] = None,
+) -> Proof:
+    """Unlinkable rerandomization (BKSV20 fig.1; forks/groth16/src/prover.rs:227):
+    A' = r1*A,  B' = (1/r1)*B + r2*delta_g2,  C' = C + r1*r2*A."""
+    r1 = rng.randrange(1, R) if r1 is None else r1
+    r2 = rng.randrange(R) if r2 is None else r2
+    A2 = G1.mul(r1, proof.a)
+    B2 = G2.add(G2.mul(pow(r1, -1, R), proof.b), G2.mul(r2, vk.delta_g2))
+    C2 = G1.add(proof.c, G1.mul(r1 * r2 % R, proof.a))
+    return Proof(A2, B2, C2)

@@ -1,15 +1,17 @@
 """Batched short-Weierstrass point arithmetic on TPU (Jacobian coordinates).
 
-Field layer: crescent_tpu.ops.limb (16x16-bit Montgomery limbs in uint32).
-A batch of points is a tuple (X, Y, Z) of (..., 16) limb arrays in Montgomery
-form; the identity is encoded as Z == 0.  All case analysis (identity inputs,
-P == Q, P == -Q) is handled with branchless selects so the same compiled
-program serves every lane — the TPU-native replacement for the reference's
-scalar Rust point loops (forks/halo2curves/src/msm.rs, ark-ec).
+Generic over a *field adapter* — either ops.limb.ModCtx (prime fields:
+BN254 G1, P-256, T-256) or ops.quadratic.QuadCtx (BN254 G2 over Fq2) — so a
+single group-law/Pippenger implementation serves every curve in the stack
+(SURVEY.md §1/L0; the reference needs separate halo2curves + ark-ec code per
+curve family).
 
-Formulas: dbl-2007-bl / add-2007-bl / madd-2007-bl (EFD), valid for any a;
-the curve constant `a` is folded in per-curve (a=0 for BN254, a=-3 for
-P-256/T-256 — no special-casing needed for correctness).
+A batch of points is a JPoints(X, Y, Z) of (..., *elem) limb arrays in
+Montgomery form; the identity is Z == 0.  All case analysis (identity
+inputs, P == Q, P == -Q) is branchless selects so one compiled program
+serves every lane.
+
+Formulas: dbl-2007-bl / add-2007-bl / madd-2007-bl (EFD), valid for any a.
 """
 
 from __future__ import annotations
@@ -21,13 +23,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.curves import Curve
+from ..core.curves import BN254G2, Curve
+from ..core.fields import BN254_FR
 from . import limb
-from .limb import NLIMB, U32, ModCtx
+from .limb import NLIMB, U32
 
 
 class JPoints(NamedTuple):
-    """Batch of Jacobian points; each field (..., NLIMB) uint32 Montgomery."""
+    """Batch of Jacobian points; each field (..., *elem_shape) Montgomery."""
 
     x: jax.Array
     y: jax.Array
@@ -35,33 +38,33 @@ class JPoints(NamedTuple):
 
 
 class CurveCtx:
-    """Batched group law for one curve over its base-field ModCtx."""
+    """Batched group law for one curve over a field-adapter context."""
 
-    def __init__(self, curve: Curve):
-        self.curve = curve
-        self.fp: ModCtx = limb.get_ctx(curve.p, f"{curve.name}.fp")
-        self.fr: ModCtx = limb.get_ctx(curve.n, f"{curve.name}.fr")
-        self.a_mont = jnp.asarray(self.fp.to_mont_host([curve.a])[0])
-        self.a_is_zero = curve.a == 0
+    def __init__(self, fctx, a_host, order: int, name: str):
+        self.fctx = fctx
+        self.name = name
+        self.n = order
+        self.fr = limb.get_ctx(order, f"{name}.fr")
+        self.a_host = a_host
+        self.a_mont = jnp.asarray(fctx.to_mont_host([a_host])[0])
+        self.a_is_zero = a_host == fctx.host_zero
         self.add = jax.jit(self.add)
         self.double = jax.jit(self.double)
         self.add_mixed = jax.jit(self.add_mixed)
         self.scalar_mul = jax.jit(self.scalar_mul)
 
+    # backward-compat alias: prime-curve field context
+    @property
+    def fp(self):
+        return self.fctx
+
     # -- host conversion ----------------------------------------------------
     def points_to_device(self, pts) -> JPoints:
         """Affine host points [(x,y) | None, ...] -> batched Jacobian arrays."""
-        xs, ys, zs = [], [], []
-        for p in pts:
-            if p is None:
-                xs.append(0)
-                ys.append(1)
-                zs.append(0)
-            else:
-                xs.append(p[0])
-                ys.append(p[1])
-                zs.append(1)
-        f = self.fp
+        f = self.fctx
+        xs = [f.host_zero if p is None else p[0] for p in pts]
+        ys = [f.host_one if p is None else p[1] for p in pts]
+        zs = [f.host_zero if p is None else f.host_one for p in pts]
         return JPoints(
             jnp.asarray(f.to_mont_host(xs)),
             jnp.asarray(f.to_mont_host(ys)),
@@ -70,31 +73,30 @@ class CurveCtx:
 
     def points_to_host(self, P: JPoints) -> list:
         """Batched Jacobian -> affine host points (None for identity)."""
-        f = self.fp
-        xs = f.from_mont_host(np.asarray(P.x).reshape(-1, NLIMB))
-        ys = f.from_mont_host(np.asarray(P.y).reshape(-1, NLIMB))
-        zs = f.from_mont_host(np.asarray(P.z).reshape(-1, NLIMB))
+        f = self.fctx
+        es = f.elem_shape
+        xs = f.from_mont_host(np.asarray(P.x).reshape((-1,) + es))
+        ys = f.from_mont_host(np.asarray(P.y).reshape((-1,) + es))
+        zs = f.from_mont_host(np.asarray(P.z).reshape((-1,) + es))
         out = []
-        p = self.curve.p
         for x, y, z in zip(xs, ys, zs):
-            if z == 0:
+            if z == f.host_zero:
                 out.append(None)
             else:
-                zi = pow(z, -1, p)
-                out.append((x * zi * zi % p, y * zi * zi * zi % p))
+                zi = f.host_inv(z)
+                zi2 = f.host_mul(zi, zi)
+                out.append((f.host_mul(x, zi2), f.host_mul(y, f.host_mul(zi2, zi))))
         return out
 
     def identity(self, shape=()) -> JPoints:
-        f = self.fp
-        return JPoints(
-            jnp.broadcast_to(f.zero, shape + (NLIMB,)),
-            jnp.broadcast_to(f.one_mont, shape + (NLIMB,)),
-            jnp.broadcast_to(f.zero, shape + (NLIMB,)),
-        )
+        f = self.fctx
+        zero = f.broadcast_elem(jnp.asarray(f.to_mont_host([f.host_zero])[0]), shape)
+        one = f.broadcast_elem(jnp.asarray(f.to_mont_host([f.host_one])[0]), shape)
+        return JPoints(zero, one, zero)
 
     # -- group law ----------------------------------------------------------
     def double(self, P: JPoints) -> JPoints:
-        f = self.fp
+        f = self.fctx
         X1, Y1, Z1 = P
         XX = f.mont_sqr(X1)
         YY = f.mont_sqr(Y1)
@@ -107,7 +109,10 @@ class CurveCtx:
         # M = 3*XX + a*ZZ^2
         M = f.add_mod(f.add_mod(XX, XX), XX)
         if not self.a_is_zero:
-            aZZ2 = f.mont_mul(jnp.broadcast_to(self.a_mont, ZZ.shape), f.mont_sqr(ZZ))
+            aZZ2 = f.mont_mul(
+                f.broadcast_elem(self.a_mont, ZZ.shape[: ZZ.ndim - len(f.elem_shape)]),
+                f.mont_sqr(ZZ),
+            )
             M = f.add_mod(M, aZZ2)
         T = f.sub_mod(f.mont_sqr(M), f.add_mod(S, S))
         X3 = T
@@ -116,15 +121,13 @@ class CurveCtx:
         e8 = f.add_mod(e8, e8)
         e8 = f.add_mod(e8, e8)
         Y3 = f.sub_mod(f.mont_mul(M, f.sub_mod(S, T)), e8)
-        # Z3 = (Y1+Z1)^2 - YY - ZZ
+        # Z3 = (Y1+Z1)^2 - YY - ZZ  (identity/2-torsion fall out as Z3 == 0)
         Z3 = f.sub_mod(f.sub_mod(f.mont_sqr(f.add_mod(Y1, Z1)), YY), ZZ)
-        # doubling a 2-torsion point (Y==0) or identity yields identity (Z3==0
-        # automatically in both cases).
         return JPoints(X3, Y3, Z3)
 
     def add(self, P: JPoints, Q: JPoints) -> JPoints:
         """Complete batched addition: handles identity, P==Q, P==-Q."""
-        f = self.fp
+        f = self.fctx
         X1, Y1, Z1 = P
         X2, Y2, Z2 = Q
         Z1Z1 = f.mont_sqr(Z1)
@@ -161,20 +164,17 @@ class CurveCtx:
         same = h_zero * r_zero * (1 - p_inf) * (1 - q_inf)
         negs = h_zero * (1 - r_zero) * (1 - p_inf) * (1 - q_inf)
 
-        def sel(c, a, b):
-            return limb.select(c, a, b)
-
-        x = sel(p_inf, X2, sel(q_inf, X1, sel(same, dbl_res.x, add_res.x)))
-        y = sel(p_inf, Y2, sel(q_inf, Y1, sel(same, dbl_res.y, add_res.y)))
-        z = sel(p_inf, Z2, sel(q_inf, Z1, sel(same, dbl_res.z, add_res.z)))
-        z = sel(negs, jnp.zeros_like(z), z)
+        x = f.select(p_inf, X2, f.select(q_inf, X1, f.select(same, dbl_res.x, add_res.x)))
+        y = f.select(p_inf, Y2, f.select(q_inf, Y1, f.select(same, dbl_res.y, add_res.y)))
+        z = f.select(p_inf, Z2, f.select(q_inf, Z1, f.select(same, dbl_res.z, add_res.z)))
+        z = f.select(negs, jnp.zeros_like(z), z)
         return JPoints(x, y, z)
 
     def add_mixed(self, P: JPoints, qx: jax.Array, qy: jax.Array, q_valid: jax.Array) -> JPoints:
         """P (Jacobian) + Q (affine, Montgomery).  q_valid: (...,) 0/1 mask;
         lanes with q_valid==0 return P unchanged.  Complete w.r.t. identity
         and doubling cases (madd-2007-bl fast path + select fallbacks)."""
-        f = self.fp
+        f = self.fctx
         X1, Y1, Z1 = P
         Z1Z1 = f.mont_sqr(Z1)
         U2 = f.mont_mul(qx, Z1Z1)
@@ -202,34 +202,37 @@ class CurveCtx:
         same = h_zero * r_zero * (1 - p_inf)
         negs = h_zero * (1 - r_zero) * (1 - p_inf)
 
-        one = jnp.broadcast_to(f.one_mont, X1.shape)
-        x = limb.select(p_inf, qx, limb.select(same, dbl_res.x, add_res.x))
-        y = limb.select(p_inf, qy, limb.select(same, dbl_res.y, add_res.y))
-        z = limb.select(p_inf, one, limb.select(same, dbl_res.z, add_res.z))
-        z = limb.select(negs, jnp.zeros_like(z), z)
+        batch = X1.shape[: X1.ndim - len(f.elem_shape)]
+        one = f.broadcast_elem(jnp.asarray(f.to_mont_host([f.host_one])[0]), batch)
+        x = f.select(p_inf, qx, f.select(same, dbl_res.x, add_res.x))
+        y = f.select(p_inf, qy, f.select(same, dbl_res.y, add_res.y))
+        z = f.select(p_inf, one, f.select(same, dbl_res.z, add_res.z))
+        z = f.select(negs, jnp.zeros_like(z), z)
         # q_valid==0: passthrough
-        x = limb.select(q_valid, x, X1)
-        y = limb.select(q_valid, y, Y1)
-        z = limb.select(q_valid, z, Z1)
+        x = f.select(q_valid, x, X1)
+        y = f.select(q_valid, y, Y1)
+        z = f.select(q_valid, z, Z1)
         return JPoints(x, y, z)
 
     def scalar_mul(self, k_limbs: jax.Array, P: JPoints) -> JPoints:
         """Batched double-and-add: k (..., 16) standard-form limbs, P batch."""
         nbits = NLIMB * limb.LIMB_BITS
+        batch = k_limbs.shape[:-1]
 
         def body(carry, i):
             acc, base = carry
             bit = (k_limbs[..., i // limb.LIMB_BITS] >> (i % limb.LIMB_BITS)) & 1
             added = self.add(acc, base)
+            f = self.fctx
             acc = JPoints(
-                limb.select(bit, added.x, acc.x),
-                limb.select(bit, added.y, acc.y),
-                limb.select(bit, added.z, acc.z),
+                f.select(bit, added.x, acc.x),
+                f.select(bit, added.y, acc.y),
+                f.select(bit, added.z, acc.z),
             )
             base = self.double(base)
             return (acc, base), None
 
-        acc0 = self.identity(P.x.shape[:-1])
+        acc0 = self.identity(batch)
         (acc, _), _ = jax.lax.scan(body, (acc0, P), jnp.arange(nbits))
         return acc
 
@@ -254,4 +257,19 @@ class CurveCtx:
 
 @functools.lru_cache(maxsize=None)
 def get_curve_ctx(curve: Curve) -> CurveCtx:
-    return CurveCtx(curve)
+    fctx = limb.get_ctx(curve.p, f"{curve.name}.fp")
+    ctx = CurveCtx(fctx, curve.a, curve.n, curve.name)
+    ctx.curve = curve
+    return ctx
+
+
+@functools.lru_cache(maxsize=None)
+def get_g2_ctx() -> CurveCtx:
+    """BN254 G2 over Fq2 (a = 0, order = Fr modulus)."""
+    from ..core.curves import G2_B
+    from .quadratic import get_fq2_ctx
+
+    fctx = get_fq2_ctx()
+    ctx = CurveCtx(fctx, fctx.host_zero, BN254_FR, "bn254_g2")
+    ctx.curve = BN254G2
+    return ctx

@@ -70,66 +70,102 @@ def limbs_to_ints(a) -> list[int]:
 # Carry handling
 # ---------------------------------------------------------------------------
 
+def _shift_up(a: jax.Array, s: int) -> jax.Array:
+    """Move limb k to position k+s (zeros shifted in at the bottom)."""
+    pad = [(0, 0)] * (a.ndim - 1) + [(s, 0)]
+    return jnp.pad(a[..., : a.shape[-1] - s], pad)
+
+
+def _ks_carry(v: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Kogge–Stone carry-lookahead resolve for limbs v <= 2^17 - 1.
+
+    Returns (normalized digits < 2^16, carry-out of the top limb).  The whole
+    carry chain is log2(L) unrolled vector steps — no serial loop, which is
+    what the VPU and the XLA compiler both want (an explicit 33-step ripple
+    chain dominated both compile and run time).
+    """
+    L = v.shape[-1]
+    g = (v >> LIMB_BITS).astype(U32)                      # generate (0/1)
+    p = ((v & LIMB_MASK) == LIMB_MASK).astype(U32)        # propagate
+    s = 1
+    while s < L:
+        g = g | (p & _shift_up(g, s))
+        p = p & _shift_up(p, s)
+        s *= 2
+    carry_in = _shift_up(g, 1)
+    out = (v + carry_in) & LIMB_MASK
+    return out, g[..., -1]
+
+
 def carry_sweep(acc: jax.Array, drop_final: bool = False) -> jax.Array:
-    """Normalize accumulator limbs (< 2^32) to < 2^16 with a sequential sweep.
+    """Normalize accumulator limbs (< 2^32) to < 2^16.
 
     acc: (..., L) uint32.  Returns (..., L) if drop_final else (..., L+1)
-    with the final carry appended (carry < 2^16 guaranteed for our sizes).
-
-    Implemented as a lax.scan over the limb axis: the chain is inherently
-    sequential, and a one-body loop keeps the HLO graph small (an unrolled
-    chain made XLA compile time explode on deep expressions).
+    with the final carry appended.  Two steps: (1) split every limb into
+    digit + multi-bit carry and add the shifted carries (residual carries are
+    then at most 1), (2) resolve the 1-bit ripple with carry-lookahead.
     """
-    moved = jnp.moveaxis(acc, -1, 0)  # (L, ...)
-
-    def body(c, v):
-        v = v + c
-        return v >> LIMB_BITS, v & LIMB_MASK
-
-    c, out = jax.lax.scan(body, jnp.zeros(moved.shape[1:], dtype=U32), moved)
-    out = jnp.moveaxis(out, 0, -1)
-    if drop_final:
-        return out
-    return jnp.concatenate([out, c[..., None]], axis=-1)
+    L = acc.shape[-1]
+    d = acc & LIMB_MASK
+    c = acc >> LIMB_BITS
+    zeros = jnp.zeros(acc.shape[:-1] + (1,), dtype=U32)
+    v = jnp.concatenate([d, zeros], axis=-1) + jnp.concatenate([zeros, c], axis=-1)
+    out, _ = _ks_carry(v)
+    return out[..., :L] if drop_final else out
 
 
 # ---------------------------------------------------------------------------
 # Schoolbook wide multiply with split accumulation
 # ---------------------------------------------------------------------------
 
+@functools.lru_cache(maxsize=None)
+def _routing_matrix(L: int, out_width: int) -> "np.ndarray":
+    """(2*L*L, out_width) f32 0/1 matrix routing flattened lo/hi partial
+    products to their output limb: lo(i,j) -> i+j, hi(i,j) -> i+j+1.
+
+    Turning the partial-product accumulation into one matmul (a) collapses
+    ~64 pad/add HLO ops per multiply into a single dot (XLA CPU compile time
+    was superlinear in flat graph size), and (b) runs on the TPU MXU: values
+    are < 2^21 so f32 accumulation is exact (< 2^24).
+    """
+    T = np.zeros((2 * L * L, out_width), dtype=np.float32)
+    for i in range(L):
+        for j in range(L):
+            if i + j < out_width:
+                T[i * L + j, i + j] = 1.0
+            if i + j + 1 < out_width:
+                T[L * L + i * L + j, i + j + 1] = 1.0
+    return T
+
+
+def _mul_acc(x: jax.Array, y: jax.Array, out_width: int) -> jax.Array:
+    """Unnormalized product limbs (each < 2^21) of width out_width."""
+    L = x.shape[-1]
+    z = x[..., :, None] * y[..., None, :]          # (..., L, L) exact in u32
+    lo = (z & LIMB_MASK).astype(jnp.float32)
+    hi = (z >> LIMB_BITS).astype(jnp.float32)
+    flat = jnp.concatenate(
+        [lo.reshape(x.shape[:-1] + (L * L,)), hi.reshape(x.shape[:-1] + (L * L,))],
+        axis=-1,
+    )
+    T = jnp.asarray(_routing_matrix(L, out_width))
+    acc = jax.lax.dot_general(
+        flat, T, (((flat.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return acc.astype(U32)
+
+
 def mul_wide(x: jax.Array, y: jax.Array) -> jax.Array:
     """(..., L) x (..., L) -> (..., 2L) exact product limbs."""
     L = x.shape[-1]
-    z = x[..., :, None] * y[..., None, :]          # (..., L, L) exact in u32
-    lo = z & LIMB_MASK
-    hi = z >> LIMB_BITS
-    width = 2 * L
-    acc_lo = jnp.zeros(x.shape[:-1] + (width,), dtype=U32)
-    acc_hi = jnp.zeros(x.shape[:-1] + (width,), dtype=U32)
-    for i in range(L):
-        pad_lo = [(0, 0)] * (x.ndim - 1) + [(i, width - L - i)]
-        acc_lo = acc_lo + jnp.pad(lo[..., i, :], pad_lo)
-        pad_hi = [(0, 0)] * (x.ndim - 1) + [(i + 1, width - L - i - 1)]
-        acc_hi = acc_hi + jnp.pad(hi[..., i, :], pad_hi)
-    swept = carry_sweep(acc_lo + acc_hi)            # (..., 2L+1); final carry 0
-    return swept[..., :width]
+    swept = carry_sweep(_mul_acc(x, y, 2 * L))      # (..., 2L+1); final carry 0
+    return swept[..., : 2 * L]
 
 def mul_low(x: jax.Array, y: jax.Array) -> jax.Array:
     """(..., L) x (..., L) -> (..., L): product mod 2^(16L)."""
     L = x.shape[-1]
-    z = x[..., :, None] * y[..., None, :]
-    lo = z & LIMB_MASK
-    hi = z >> LIMB_BITS
-    acc = jnp.zeros(x.shape[:-1] + (L,), dtype=U32)
-    for i in range(L):
-        # row i contributes lo at positions i.. and hi at positions i+1..
-        lo_row = lo[..., i, : L - i]
-        hi_row = hi[..., i, : L - i - 1] if i + 1 < L else None
-        pad = [(0, 0)] * (x.ndim - 1)
-        acc = acc + jnp.pad(lo_row, pad + [(i, 0)])
-        if hi_row is not None:
-            acc = acc + jnp.pad(hi_row, pad + [(i + 1, 0)])
-    return carry_sweep(acc, drop_final=True)
+    return carry_sweep(_mul_acc(x, y, L), drop_final=True)
 
 
 # ---------------------------------------------------------------------------
@@ -141,19 +177,15 @@ def add_raw(x: jax.Array, y: jax.Array) -> jax.Array:
     return carry_sweep(x + y)
 
 def sub_raw(x: jax.Array, y: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """x - y with borrow chain. Returns ((..., L) limbs, (...,) borrow 0/1)."""
-    xm = jnp.moveaxis(x, -1, 0)
-    ym = jnp.moveaxis(y, -1, 0)
+    """x - y with borrow. Returns ((..., L) limbs, (...,) borrow 0/1).
 
-    def body(borrow, xy):
-        xv, yv = xy
-        v = xv + (1 << LIMB_BITS) - yv - borrow
-        return 1 - (v >> LIMB_BITS), v & LIMB_MASK
-
-    borrow, out = jax.lax.scan(
-        body, jnp.zeros(xm.shape[1:], dtype=U32), (xm, ym)
-    )
-    return jnp.moveaxis(out, 0, -1), borrow
+    Two's-complement form: x + (2^256 - 1 - y) + 1, then carry-lookahead;
+    no carry-out of the top limb <=> the subtraction borrowed.
+    """
+    v = x + (LIMB_MASK - y)
+    one_hot = jnp.zeros_like(v).at[..., 0].set(1)
+    out, carry_out = _ks_carry(v + one_hot)
+    return out, 1 - carry_out
 
 def geq(x: jax.Array, y: jax.Array) -> jax.Array:
     """x >= y as (...,) uint32 0/1."""
@@ -255,6 +287,26 @@ class ModCtx:
 
     def is_zero(self, x: jax.Array) -> jax.Array:
         return jnp.all(x == 0, axis=-1).astype(U32)
+
+    # -- field-adapter interface (shared with ops.quadratic.QuadCtx) -------
+    host_zero = 0
+    host_one = 1
+
+    def select(self, mask: jax.Array, a: jax.Array, b: jax.Array) -> jax.Array:
+        return jnp.where(mask[..., None].astype(bool), a, b)
+
+    def broadcast_elem(self, e: jax.Array, batch_shape) -> jax.Array:
+        return jnp.broadcast_to(e, tuple(batch_shape) + (NLIMB,))
+
+    @property
+    def elem_shape(self):
+        return (NLIMB,)
+
+    def host_mul(self, a, b):
+        return a * b % self.modulus
+
+    def host_inv(self, a):
+        return pow(a, -1, self.modulus)
 
     def eq(self, x: jax.Array, y: jax.Array) -> jax.Array:
         return jnp.all(x == y, axis=-1).astype(U32)

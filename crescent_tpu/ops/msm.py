@@ -79,13 +79,13 @@ def _msm_impl(ctx: CurveCtx, px, py, pvalid, digits, c: int, lanes: int):
     pvalid = padpts(pvalid, 0)
     digits = padpts(digits, 0)
 
-    # reshape to (steps, L, ...)
-    px = px.reshape(steps, L, NLIMB)
-    py = py.reshape(steps, L, NLIMB)
+    # reshape to (steps, L, *elem)
+    es = ctx.fctx.elem_shape
+    px = px.reshape((steps, L) + es)
+    py = py.reshape((steps, L) + es)
     pvalid = pvalid.reshape(steps, L)
     digits = digits.reshape(steps, L, W)
 
-    fp = ctx.fp
     # lane-local buckets: (L, W, B) points
     buckets = ctx.identity((L, W, B))
 
@@ -99,8 +99,8 @@ def _msm_impl(ctx: CurveCtx, px, py, pvalid, digits, c: int, lanes: int):
             buckets.y[lane_idx, win_idx, sdig],
             buckets.z[lane_idx, win_idx, sdig],
         )                                   # (L, W, 16)
-        qx = jnp.broadcast_to(sx[:, None, :], (L, W, NLIMB))
-        qy = jnp.broadcast_to(sy[:, None, :], (L, W, NLIMB))
+        qx = jnp.broadcast_to(jnp.expand_dims(sx, 1), (L, W) + es)
+        qy = jnp.broadcast_to(jnp.expand_dims(sy, 1), (L, W) + es)
         # skip digit-0 (bucket 0 unused) and invalid (padded/infinity) points
         valid = (sdig != 0) & (sval[:, None] != 0)
         new = ctx.add_mixed(cur, qx, qy, valid.astype(U32))
@@ -113,23 +113,14 @@ def _msm_impl(ctx: CurveCtx, px, py, pvalid, digits, c: int, lanes: int):
 
     buckets, _ = jax.lax.scan(step, buckets, (px, py, pvalid, digits))
 
-    # Phase 2: reduce lanes (tree over axis 0)
-    n = L
-    while n > 1:
-        half = n // 2
-        top = JPoints(buckets.x[half : 2 * half], buckets.y[half : 2 * half], buckets.z[half : 2 * half])
-        bot = JPoints(buckets.x[:half], buckets.y[:half], buckets.z[:half])
-        red = ctx.add(bot, top)
-        if n % 2:
-            buckets = JPoints(
-                jnp.concatenate([red.x, buckets.x[n - 1 :]], 0),
-                jnp.concatenate([red.y, buckets.y[n - 1 :]], 0),
-                jnp.concatenate([red.z, buckets.z[n - 1 :]], 0),
-            )
-        else:
-            buckets = red
-        n = (n + 1) // 2
-    wb = JPoints(buckets.x[0], buckets.y[0], buckets.z[0])  # (W, B)
+    # Phase 2: fold lanes into one (W, B) bucket set.  A lax.scan (L steps of
+    # one batched add) keeps the compiled graph at a single add body; the
+    # log-tree variant compiled log2(L) distinct shapes and dominated
+    # compile time on XLA.
+    def fold(acc, lane):
+        return ctx.add(acc, lane), None
+
+    wb, _ = jax.lax.scan(fold, ctx.identity((W, B)), buckets)
 
     # Phase 3: suffix running sums per window.
     #   running_d = sum_{b>=d} bucket_b ; acc = sum_{d>=1} running_d = sum b*bucket_b
@@ -158,38 +149,112 @@ def _msm_impl(ctx: CurveCtx, px, py, pvalid, digits, c: int, lanes: int):
     return res
 
 
-class MSM:
-    """MSM executor for one curve; jit-cached per (N, c, lanes) shape."""
+def _small_msm_impl(ctx: CurveCtx, px, py, pvalid, k_limbs) -> JPoints:
+    """Direct path for small N: batched double-and-add then a scan-fold.
+    Pippenger's bucket machinery costs >= W * 2^c point-adds regardless of N,
+    so below ~1k points this is both faster and a much smaller program."""
+    one = ctx.fctx.broadcast_elem(
+        jnp.asarray(ctx.fctx.to_mont_host([ctx.fctx.host_one])[0]), pvalid.shape
+    )
+    z = ctx.fctx.select(pvalid, one, jnp.zeros_like(one))
+    prods = ctx.scalar_mul(k_limbs, JPoints(px, py, z))
 
-    def __init__(self, curve: Curve, c: int = 8, lanes: int = 128):
-        self.ctx = get_curve_ctx(curve)
+    def fold(acc, p):
+        return ctx.add(acc, JPoints(*p)), None
+
+    acc, _ = jax.lax.scan(fold, ctx.identity(()), tuple(prods))
+    return acc
+
+
+class MSM:
+    """MSM executor for one curve context; jit-cached per shape bucket.
+
+    `lanes` caps phase-1 parallelism; the actual lane count adapts to
+    N/2^c so the lane-fold (L*W*2^c point-adds) never dominates the
+    accumulation work (N*W adds).
+    """
+
+    def __init__(self, curve, c: int = 8, lanes: int = 256, small_cutoff: int = 1024):
+        self.ctx = curve if isinstance(curve, CurveCtx) else get_curve_ctx(curve)
         self.c = c
         self.lanes = lanes
-        self._impl = jax.jit(
-            functools.partial(_msm_impl, self.ctx, c=c, lanes=lanes)
-        )
+        self.small_cutoff = small_cutoff
+        self._impls: dict = {}
+        self._small = jax.jit(functools.partial(_small_msm_impl, self.ctx))
+        self._small_many = jax.jit(jax.vmap(functools.partial(_small_msm_impl, self.ctx)))
+
+    def _lanes_for(self, n: int) -> int:
+        return max(1, min(self.lanes, n >> self.c))
+
+    def _get_impl(self, lanes: int, many: bool):
+        key = (lanes, many)
+        if key not in self._impls:
+            fn = functools.partial(_msm_impl, self.ctx, c=self.c, lanes=lanes)
+            self._impls[key] = jax.jit(jax.vmap(fn) if many else fn)
+        return self._impls[key]
+
+    @staticmethod
+    def _pad_to(npad, px, py, pvalid, scalars):
+        n = px.shape[0]
+        if npad != n:
+            pad = [(0, npad - n)]
+            px = jnp.pad(px, pad + [(0, 0)] * (px.ndim - 1))
+            py = jnp.pad(py, pad + [(0, 0)] * (py.ndim - 1))
+            pvalid = jnp.pad(pvalid, pad)
+            scalars = jnp.pad(scalars, pad + [(0, 0)])
+        return px, py, pvalid, scalars
 
     # -- device API ---------------------------------------------------------
     def run_device(self, px, py, pvalid, scalars) -> JPoints:
-        """px/py: (N,16) Montgomery affine; pvalid: (N,) 0/1;
-        scalars: (N,16) standard-form limbs. Returns a single Jacobian point."""
+        """px/py: (N, *elem) Montgomery affine; pvalid: (N,) 0/1;
+        scalars: (N,16) standard-form limbs. Returns a single Jacobian point.
+
+        N is padded up to a power of two (with invalid lanes) so nearby sizes
+        share one compiled executable."""
+        n = px.shape[0]
+        npad = 1 << (n - 1).bit_length() if n > 1 else 1
+        px, py, pvalid, scalars = self._pad_to(npad, px, py, pvalid, scalars)
+        if npad <= self.small_cutoff:
+            return self._small(px, py, pvalid, scalars)
         digits = scalar_digits(scalars, self.c)
-        return self._impl(px, py, pvalid, digits)
+        return self._get_impl(self._lanes_for(npad), many=False)(px, py, pvalid, digits)
+
+    def run_device_many(self, problems) -> JPoints:
+        """Batch of independent MSMs in ONE compiled program (vmap over the
+        problem axis).  problems: list of (px, py, pvalid, scalars); each is
+        padded to a common power-of-two N.  Returns JPoints with leading axis
+        len(problems)."""
+        nmax = max(p[0].shape[0] for p in problems)
+        npad = 1 << (nmax - 1).bit_length() if nmax > 1 else 1
+        padded = [self._pad_to(npad, *p) for p in problems]
+        stack = [jnp.stack(arrs) for arrs in zip(*padded)]
+        if npad <= self.small_cutoff:
+            return self._small_many(*stack)
+        pxs, pys, vals, scs = stack
+        digs = scalar_digits(
+            scs.reshape((-1,) + scs.shape[2:]), self.c
+        ).reshape(scs.shape[0], npad, -1)
+        return self._get_impl(self._lanes_for(npad), many=True)(pxs, pys, vals, digs)
 
     # -- host convenience ---------------------------------------------------
     def run_host(self, scalars: list[int], points: list):
-        """Host ints/affine points -> host affine result (oracle-friendly)."""
-        fp = self.ctx.fp
-        xs = [p[0] if p else 0 for p in points]
-        ys = [p[1] if p else 1 for p in points]
+        """Host scalars/affine points -> host affine result (any curve ctx)."""
+        P = self.ctx.points_to_device(points)
         valid = jnp.asarray([0 if p is None else 1 for p in points], dtype=U32)
-        px = jnp.asarray(fp.to_mont_host(xs))
-        py = jnp.asarray(fp.to_mont_host(ys))
-        sc = jnp.asarray(limb.ints_to_limbs([s % self.ctx.curve.n for s in scalars]))
-        res = self.run_device(px, py, valid, sc)
-        return self.ctx.points_to_host(JPoints(res.x[None], res.y[None], res.z[None]))[0]
+        sc = jnp.asarray(limb.ints_to_limbs([s % self.ctx.n for s in scalars]))
+        res = self.run_device(P.x, P.y, valid, sc)
+        return self.ctx.points_to_host(
+            JPoints(res.x[None], res.y[None], res.z[None])
+        )[0]
 
 
 @functools.lru_cache(maxsize=None)
 def get_msm(curve: Curve, c: int = 8, lanes: int = 128) -> MSM:
     return MSM(curve, c, lanes)
+
+
+@functools.lru_cache(maxsize=None)
+def get_g2_msm(c: int = 8, lanes: int = 64) -> MSM:
+    from .ec import get_g2_ctx
+
+    return MSM(get_g2_ctx(), c, lanes)

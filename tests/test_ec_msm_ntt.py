@@ -81,7 +81,8 @@ def test_msm_matches_host():
     # throw in edge scalars and identity points
     ks[0], ks[1], ks[2] = 0, 1, curve.n - 1
     pts[3] = None
-    m = msm.MSM(curve, c=8, lanes=16)
+    # force the Pippenger bucket path (small_cutoff=0) with a tiny lane cap
+    m = msm.MSM(curve, c=8, lanes=16, small_cutoff=0)
     got = m.run_host(ks, pts)
     want = curve.msm(ks, pts)
     assert got == want
@@ -94,6 +95,20 @@ def test_msm_t256():
     ks = [rng.randrange(curve.n) for _ in range(n)]
     m = msm.MSM(curve, c=8, lanes=8)
     assert m.run_host(ks, pts) == curve.msm(ks, pts)
+
+
+def test_g2_msm_matches_host():
+    from crescent_tpu.ops.msm import get_g2_msm
+
+    G2 = curves.BN254G2
+    n = 20
+    pts = [G2.mul(rng.randrange(1, G2.n), G2.generator()) for _ in range(n)]
+    ks = [rng.randrange(G2.n) for _ in range(n)]
+    ks[0] = 0
+    m = get_g2_msm(c=8, lanes=4)
+    got = m.run_host(ks, pts)
+    want = G2.msm(ks, pts)
+    assert got == want
 
 
 def test_ntt_roundtrip_and_host():
