@@ -1,0 +1,101 @@
+"""Benchmark: BN254 G1 MSM throughput on the local accelerator (TPU).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Metric: Pippenger MSM points/s on BN254 G1 — the dominant kernel of Groth16
+`prove`, the headline BASELINE.json metric ("MSM points/s/chip").  The
+baseline constant below is the single-core CPU reference rate of the kind of
+Rust/arkworks Pippenger the reference uses (creds/benches/ecc_bench.rs
+measures the same op): ~2^20 points in ~5 s single-core => 2.0e5 points/s.
+(The repo publishes no numbers in-tree — BASELINE.md — so this is the
+documented reproduction estimate; replace with a measured value once the
+Rust toolchain is available to run the reference benches.)
+"""
+
+import json
+import os
+import random
+import sys
+import time
+
+# allow shrinking the workload for smoke tests: BENCH_LOG_N=12 etc.
+LOG_N = int(os.environ.get("BENCH_LOG_N", "16"))
+BASELINE_POINTS_PER_SEC = 2.0e5
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    log("devices:", jax.devices())
+
+    from crescent_tpu.core.curves import BN254_G1
+    from crescent_tpu.ops import limb
+    from crescent_tpu.ops.msm import MSM, scalar_digits
+
+    n = 1 << LOG_N
+    rng = random.Random(42)
+
+    # deterministic pseudo-random affine points: k_i * G precomputed on
+    # device via batched scalar-mul of small random multiples of G (host EC
+    # would take minutes for 2^16 points).
+    log(f"generating {n} points on device ...")
+    from crescent_tpu.ops.ec import get_curve_ctx, JPoints
+
+    ctx = get_curve_ctx(BN254_G1)
+    seeds = [rng.randrange(1, 1 << 20) for _ in range(n)]
+    base = ctx.points_to_device([BN254_G1.generator])
+    es = ctx.fctx.elem_shape
+    P = JPoints(
+        jnp.broadcast_to(base.x[0], (n,) + es),
+        jnp.broadcast_to(base.y[0], (n,) + es),
+        jnp.broadcast_to(base.z[0], (n,) + es),
+    )
+    kl = jnp.asarray(limb.ints_to_limbs(seeds))
+    t0 = time.time()
+    jac = ctx.scalar_mul(kl, P)
+    jax.block_until_ready(jac)
+    log(f"point gen (jacobian, device): {time.time()-t0:.1f}s")
+    # normalize to affine on host once (exact), reuse as MSM input
+    t0 = time.time()
+    aff = ctx.points_to_host(jac)
+    log(f"to affine on host: {time.time()-t0:.1f}s")
+
+    m = MSM(BN254_G1, c=8, lanes=256, small_cutoff=0)
+    Pd = ctx.points_to_device(aff)
+    valid = jnp.ones(n, dtype=jnp.uint32)
+    scalars = jnp.asarray(limb.ints_to_limbs([rng.randrange(BN254_G1.n) for _ in range(n)]))
+
+    t0 = time.time()
+    r = m.run_device(Pd.x, Pd.y, valid, scalars)
+    jax.block_until_ready(r)
+    log(f"msm first call (compile+run): {time.time()-t0:.1f}s")
+
+    best = float("inf")
+    for i in range(3):
+        t0 = time.time()
+        r = m.run_device(Pd.x, Pd.y, valid, scalars)
+        jax.block_until_ready(r)
+        dt = time.time() - t0
+        log(f"msm run {i}: {dt:.3f}s")
+        best = min(best, dt)
+
+    # correctness spot-check on a subsample wouldn't validate the full sum;
+    # the kernel is validated bit-exactly in tests/ against the host oracle.
+    pps = n / best
+    out = {
+        "metric": "bn254_g1_msm_points_per_sec",
+        "value": round(pps, 1),
+        "unit": "points/s",
+        "vs_baseline": round(pps / BASELINE_POINTS_PER_SEC, 3),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

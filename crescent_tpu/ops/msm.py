@@ -62,8 +62,9 @@ def scalar_digits(scalars: jax.Array, c: int) -> jax.Array:
     return jnp.sum(bits * weights, axis=-1)
 
 
-def _msm_impl(ctx: CurveCtx, px, py, pvalid, digits, c: int, lanes: int):
-    """Core Pippenger given precomputed digits. All args device arrays."""
+def _accumulate_buckets(ctx: CurveCtx, px, py, pvalid, digits, c: int, lanes: int) -> JPoints:
+    """Pippenger phases 1-2: accumulate points into per-window buckets and
+    fold lanes.  Returns a (W, B) JPoints bucket set."""
     N = px.shape[0]
     W = digits.shape[1]
     B = 1 << c
@@ -121,6 +122,13 @@ def _msm_impl(ctx: CurveCtx, px, py, pvalid, digits, c: int, lanes: int):
         return ctx.add(acc, lane), None
 
     wb, _ = jax.lax.scan(fold, ctx.identity((W, B)), buckets)
+    return wb
+
+
+def _aggregate_buckets(ctx: CurveCtx, wb: JPoints, c: int) -> JPoints:
+    """Pippenger phases 3-4: per-window suffix sums + Horner window combine.
+    wb: (W, B) bucket set -> single Jacobian point."""
+    W, B = wb.x.shape[0], wb.x.shape[1]
 
     # Phase 3: suffix running sums per window.
     #   running_d = sum_{b>=d} bucket_b ; acc = sum_{d>=1} running_d = sum b*bucket_b
@@ -147,6 +155,12 @@ def _msm_impl(ctx: CurveCtx, px, py, pvalid, digits, c: int, lanes: int):
 
     res, _ = jax.lax.scan(phase4, ctx.identity(()), jnp.arange(W))
     return res
+
+
+def _msm_impl(ctx: CurveCtx, px, py, pvalid, digits, c: int, lanes: int) -> JPoints:
+    """Core Pippenger given precomputed digits. All args device arrays."""
+    wb = _accumulate_buckets(ctx, px, py, pvalid, digits, c, lanes)
+    return _aggregate_buckets(ctx, wb, c)
 
 
 def _small_msm_impl(ctx: CurveCtx, px, py, pvalid, k_limbs) -> JPoints:

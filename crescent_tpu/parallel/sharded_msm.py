@@ -1,0 +1,104 @@
+"""Multi-chip MSM: point-sharded Pippenger with ring bucket reduction.
+
+The distributed design SURVEY.md §2f/§5 calls for (the reference is
+single-process rayon; this layer is new, TPU-first):
+
+  * Phase 1-2 (bucket accumulate + lane fold) is embarrassingly parallel over
+    the *point* axis -> shard points across the mesh with shard_map; each
+    device builds its own (W, B) bucket set from its N/D points.
+  * The bucket sets are then combined with an `all_gather` over ICI followed
+    by a local scan-fold (D-1 batched point-adds over the (W, B) plane) —
+    EC point addition is not a `psum`-able monoid, so the collective moves
+    bytes and the VPU does the group law.  1.5 MB per bucket set, ICI-cheap.
+  * Phases 3-4 (suffix sums + Horner) are replicated on every device; the
+    result is a replicated single point.
+
+Scaling axis match to BASELINE.json: "MSMs partitioned across a multi-host
+pod slice with bucket sums reduced via collectives".
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..ops import limb
+from ..ops.ec import CurveCtx, JPoints
+from ..ops.msm import _accumulate_buckets, _aggregate_buckets, scalar_digits
+from ..ops.limb import U32
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "points") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    import numpy as np
+
+    return Mesh(np.array(devs), (axis,))
+
+
+def sharded_msm_fn(ctx: CurveCtx, mesh: Mesh, c: int = 8, lanes: int = 64, axis: str = "points"):
+    """Returns a jitted fn(px, py, pvalid, digits) -> JPoints computing the
+    full MSM with points sharded over `axis` of `mesh`."""
+
+    def local(px, py, pvalid, digits):
+        wb = _accumulate_buckets(ctx, px, py, pvalid, digits, c, lanes)
+        # combine bucket sets from all devices (ring of point-adds)
+        allb = jax.lax.all_gather(wb, axis)          # (D, W, B) JPoints
+
+        def fold(acc, dev_buckets):
+            return ctx.add(acc, dev_buckets), None
+
+        W, B = wb.x.shape[0], wb.x.shape[1]
+        wb_sum, _ = jax.lax.scan(fold, ctx.identity((W, B)), allb)
+        return _aggregate_buckets(ctx, wb_sum, c)
+
+    es = ctx.fctx.elem_shape
+    pt_spec = P(axis, *([None] * len(es)))
+    f = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(pt_spec, pt_spec, P(axis), P(axis, None)),
+        out_specs=JPoints(
+            P(*([None] * (len(es)))), P(*([None] * (len(es)))), P(*([None] * (len(es))))
+        ),
+        check_rep=False,
+    )
+    return jax.jit(f)
+
+
+class ShardedMSM:
+    """Host-friendly wrapper mirroring ops.msm.MSM over a device mesh."""
+
+    def __init__(self, ctx_or_curve, mesh: Mesh, c: int = 8, lanes: int = 64):
+        from ..ops.ec import get_curve_ctx
+        from ..core.curves import Curve
+
+        self.ctx = (
+            ctx_or_curve
+            if isinstance(ctx_or_curve, CurveCtx)
+            else get_curve_ctx(ctx_or_curve)
+        )
+        self.mesh = mesh
+        self.c = c
+        self.lanes = lanes
+        self._fn = sharded_msm_fn(self.ctx, mesh, c, lanes)
+
+    def run_host(self, scalars, points):
+        n = len(points)
+        d = self.mesh.devices.size
+        npad = -(-n // d) * d
+        points = list(points) + [None] * (npad - n)
+        scalars = list(scalars) + [0] * (npad - n)
+        Pts = self.ctx.points_to_device(points)
+        valid = jnp.asarray([0 if p is None else 1 for p in points], dtype=U32)
+        sc = jnp.asarray(limb.ints_to_limbs([s % self.ctx.n for s in scalars]))
+        digits = scalar_digits(sc, self.c)
+        res = self._fn(Pts.x, Pts.y, valid, digits)
+        return self.ctx.points_to_host(
+            JPoints(res.x[None], res.y[None], res.z[None])
+        )[0]
