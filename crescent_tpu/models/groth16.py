@@ -123,9 +123,14 @@ def dummy_circuit(log_size: int, rng: random.Random, num_public: int = 1):
 
 @dataclass
 class VerifyingKey:
+    """Matches the fork's VerifyingKey (forks/groth16/src/data_structures.rs:31-44),
+    which adds delta_g1 vs upstream ark — the show protocol commits hidden
+    inputs against it."""
+
     alpha_g1: AffinePoint
     beta_g2: G2Point
     gamma_g2: G2Point
+    delta_g1: AffinePoint
     delta_g2: G2Point
     gamma_abc_g1: list  # length num_instance
 
@@ -278,7 +283,12 @@ def fixed_base_mul(base, scalars: list[int], g2: bool = False) -> list:
 
 def setup(r1cs: R1CS, rng: random.Random) -> ProvingKey:
     """Generate the per-circuit SRS (reference: forks/groth16/src/generator.rs)."""
-    alpha, beta, gamma, delta, t = (rng.randrange(1, R) for _ in range(5))
+    # gamma = 1 exactly as the reference generator (forks/groth16/src/
+    # generator.rs:28) — groth16rand's committed-input algebra relies on it
+    # (the -(acc_r+z)*G correction on proof.c cancels e(k*delta_g1, gamma_g2)
+    # only when gamma == 1).
+    alpha, beta, delta, t = (rng.randrange(1, R) for _ in range(4))
+    gamma = 1
     dom = _domain_for(r1cs)
     A, B, C = _qap_evals_at_t(r1cs, dom, t)
     ninst = r1cs.num_instance
@@ -310,7 +320,7 @@ def setup(r1cs: R1CS, rng: random.Random) -> ProvingKey:
     b_g2_query = g2_all[:nv]
     beta_g2, gamma_g2, delta_g2 = g2_all[nv:]
 
-    vk = VerifyingKey(alpha_g1, beta_g2, gamma_g2, delta_g2, gamma_abc_g1)
+    vk = VerifyingKey(alpha_g1, beta_g2, gamma_g2, delta_g1, delta_g2, gamma_abc_g1)
     return ProvingKey(vk, beta_g1, delta_g1, a_query, b_g1_query, b_g2_query, h_query, l_query)
 
 
