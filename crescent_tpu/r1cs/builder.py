@@ -1,0 +1,218 @@
+"""Native R1CS statement builder with integrated witness computation.
+
+This is the framework's replacement for the circom + wasmer witness stack
+(forks/circom-compat; SURVEY.md §7.3 "later, compile the constraint graph"):
+gadgets add constraints AND compute the concrete wire values in one pass, so
+"synthesize" with inputs yields the full assignment, and the same code run
+with placeholder inputs yields the circuit shape for setup (gadget control
+flow must therefore be data-independent).
+
+Wire layout follows circom convention: [1, public_outputs..., public_inputs...,
+private...] — so IOLocations positions transfer unchanged.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ..core.fields import BN254_FR
+
+R = BN254_FR
+
+
+@dataclass(frozen=True)
+class Var:
+    idx: int
+
+
+class LC:
+    """Sparse linear combination over wires."""
+
+    __slots__ = ("terms",)
+
+    def __init__(self, terms=None):
+        self.terms: dict[int, int] = dict(terms or {})
+
+    @staticmethod
+    def of(v, coeff: int = 1) -> "LC":
+        if isinstance(v, LC):
+            return v if coeff == 1 else v.scale(coeff)
+        if isinstance(v, Var):
+            return LC({v.idx: coeff % R})
+        return LC({0: (v * coeff) % R})  # constant
+
+    def __add__(self, o):
+        if not isinstance(o, LC):
+            o = LC.of(o)
+        t = dict(self.terms)
+        for k, c in o.terms.items():
+            t[k] = (t.get(k, 0) + c) % R
+        return LC(t)
+
+    def __sub__(self, o):
+        if not isinstance(o, LC):
+            o = LC.of(o)
+        t = dict(self.terms)
+        for k, c in o.terms.items():
+            t[k] = (t.get(k, 0) - c) % R
+        return LC(t)
+
+    def scale(self, k: int) -> "LC":
+        return LC({i: c * k % R for i, c in self.terms.items()})
+
+    def to_list(self) -> list:
+        return [(i, c) for i, c in sorted(self.terms.items()) if c]
+
+
+class ConstraintSystem:
+    """Builder + witness calculator in one pass."""
+
+    def __init__(self):
+        self.values: list[int] = [1]
+        self.constraints: list = []
+        self.n_pub_out = 0
+        self.n_pub_in = 0
+        self._frozen_publics = False
+        self.io_names: dict[str, int] = {}  # name -> wire position (IOLocations)
+
+    # -- allocation ---------------------------------------------------------
+    def alloc(self, value: int) -> Var:
+        """Private witness wire."""
+        self._frozen_publics = True
+        self.values.append(value % R)
+        return Var(len(self.values) - 1)
+
+    def alloc_public(self, value: int, name: str | None = None, is_output: bool = True) -> Var:
+        """Public IO wire; must be allocated before any private wire."""
+        assert not self._frozen_publics, "allocate publics before privates"
+        self.values.append(value % R)
+        idx = len(self.values) - 1
+        if is_output:
+            self.n_pub_out += 1
+        else:
+            self.n_pub_in += 1
+        if name:
+            self.io_names[name] = idx
+        return Var(idx)
+
+    # -- constraint emission -----------------------------------------------
+    def enforce(self, a: LC, b: LC, c: LC):
+        self.constraints.append((a.to_list(), b.to_list(), c.to_list()))
+
+    def value(self, x) -> int:
+        if isinstance(x, Var):
+            return self.values[x.idx]
+        if isinstance(x, LC):
+            return sum(self.values[i] * c for i, c in x.terms.items()) % R
+        return x % R
+
+    # -- gadget library -----------------------------------------------------
+    def mul(self, a, b) -> Var:
+        """out = a * b."""
+        va, vb = self.value(a), self.value(b)
+        out = self.alloc(va * vb % R)
+        self.enforce(LC.of(a), LC.of(b), LC.of(out))
+        return out
+
+    def add_const_mul(self, lc: LC) -> Var:
+        """Materialize an LC into a wire (one constraint: lc * 1 = out)."""
+        out = self.alloc(self.value(lc))
+        self.enforce(lc, LC.of(1), LC.of(out))
+        return out
+
+    def assert_equal(self, a, b):
+        self.enforce(LC.of(a) - LC.of(b), LC.of(1), LC.of(0))
+
+    def assert_bool(self, x):
+        """x * (x - 1) = 0."""
+        self.enforce(LC.of(x), LC.of(x) - LC.of(1), LC.of(0))
+
+    def alloc_bool(self, value: int) -> Var:
+        v = self.alloc(value & 1)
+        self.assert_bool(v)
+        return v
+
+    def decompose_bits(self, x, nbits: int) -> list[Var]:
+        """Little-endian bit decomposition with recomposition constraint
+        (circomlib Num2Bits semantics)."""
+        val = self.value(x)
+        bits = [self.alloc_bool((val >> i) & 1) for i in range(nbits)]
+        acc = LC()
+        for i, b in enumerate(bits):
+            acc = acc + LC.of(b, 1 << i)
+        self.assert_equal(acc, LC.of(x))
+        return bits
+
+    def bits_to_num(self, bits: list[Var]) -> Var:
+        acc = LC()
+        for i, b in enumerate(bits):
+            acc = acc + LC.of(b, 1 << i)
+        return self.add_const_mul(acc)
+
+    def xor(self, a: Var, b: Var) -> Var:
+        """Boolean XOR: out = a + b - 2ab."""
+        va, vb = self.value(a), self.value(b)
+        out = self.alloc(va ^ vb)
+        # a*2b = a + b - out
+        self.enforce(LC.of(a, 2), LC.of(b), LC.of(a) + LC.of(b) - LC.of(out))
+        return out
+
+    def and_(self, a: Var, b: Var) -> Var:
+        return self.mul(a, b)
+
+    def not_(self, a: Var) -> LC:
+        return LC.of(1) - LC.of(a)
+
+    def select(self, cond: Var, a, b) -> Var:
+        """cond ? a : b  =  b + cond*(a-b)."""
+        vc = self.value(cond)
+        out = self.alloc(self.value(a) if vc else self.value(b))
+        self.enforce(LC.of(cond), LC.of(a) - LC.of(b), LC.of(out) - LC.of(b))
+        return out
+
+    def is_zero(self, x) -> Var:
+        """1 if x == 0 else 0 (circomlib IsZero)."""
+        vx = self.value(x)
+        inv = self.alloc(pow(vx, -1, R) if vx else 0)
+        out = self.alloc(0 if vx else 1)
+        # out = 1 - x*inv ; x*out = 0
+        self.enforce(LC.of(x), LC.of(inv), LC.of(1) - LC.of(out))
+        self.enforce(LC.of(x), LC.of(out), LC.of(0))
+        return out
+
+    # -- export -------------------------------------------------------------
+    @property
+    def num_instance(self) -> int:
+        return 1 + self.n_pub_out + self.n_pub_in
+
+    def to_r1cs(self):
+        from ..models.groth16 import R1CS
+
+        return R1CS(
+            num_instance=self.num_instance,
+            num_witness=len(self.values) - self.num_instance,
+            constraints=self.constraints,
+        )
+
+    def assignment(self) -> list[int]:
+        return list(self.values)
+
+    def io_locations(self):
+        from ..credentials.structs import IOLocations
+
+        return IOLocations(dict(self.io_names))
+
+    def is_satisfied(self) -> bool:
+        return self.to_r1cs().is_satisfied(self.values)
+
+    def write_r1cs(self, path: str):
+        from .reader import write_r1cs
+
+        write_r1cs(
+            path,
+            self.constraints,
+            n_wires=len(self.values),
+            n_pub_out=self.n_pub_out,
+            n_pub_in=self.n_pub_in,
+            n_prv_in=len(self.values) - self.num_instance,
+        )
