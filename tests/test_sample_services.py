@@ -1,0 +1,129 @@
+"""HTTP end-to-end across the 4 sample services (SURVEY.md §3.5 flow):
+
+  issuer /welcome meta tag -> helper /prepare (async prove) -> /status poll
+  -> helper /show -> verifier /verify, all over real localhost sockets."""
+
+import json
+import random
+import re
+import tempfile
+import time
+import urllib.request
+
+import pytest
+
+from crescent_tpu.credentials import api
+from crescent_tpu.credentials.circuits import StubJWTFrontend
+from crescent_tpu.sample import common, services
+from crescent_tpu.utils import jwt as jwtutil
+
+
+def _get(url: str, timeout: int = 300) -> bytes:
+    with urllib.request.urlopen(url, timeout=timeout) as r:
+        return r.read()
+
+
+def _post(url: str, obj) -> dict:
+    req = urllib.request.Request(
+        url, json.dumps(obj).encode(), {"Content-Type": "application/json"}
+    )
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return json.loads(r.read())
+
+
+@pytest.fixture(scope="module")
+def stack(tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("sample"))
+    rng = random.Random(1)
+    with open(base + "/config.json", "w") as f:
+        json.dump(
+            {
+                "alg": "RS256",
+                "exp": {"type": "number", "max_claim_byte_len": 31, "reveal": True},
+                "email": {
+                    "type": "string", "reveal": True,
+                    "max_claim_byte_len": 31, "reveal_domain_only": True,
+                },
+            },
+            f,
+        )
+    priv, pub = jwtutil.generate_rsa_keypair(2048)
+    with open(base + "/issuer.pub", "w") as f:
+        f.write(pub)
+    with open(base + "/issuer.prv", "w") as f:
+        f.write(priv)
+    api.run_zksetup(base, StubJWTFrontend(), rng)
+    ports = {"issuer": 18001, "setup": 18002, "helper": 18003, "verifier": 18004}
+    servers = services.run_all(base, ports)
+    yield ports
+    for srv, _ in servers.values():
+        srv.shutdown()
+
+
+def test_schema_registry():
+    assert common.cred_type_from_schema("jwt_sd") == "jwt"
+    assert common.is_disc_supported_by_schema("crescent://over_18", "mdl_1")
+    assert not common.is_disc_supported_by_schema("crescent://over_18", "jwt_sd")
+    assert common.disc_uid_to_age("crescent://over_21") == 21
+
+
+def test_http_end_to_end(stack):
+    ports = stack
+    issuer = f"http://127.0.0.1:{ports['issuer']}"
+    helper = f"http://127.0.0.1:{ports['helper']}"
+    verifier = f"http://127.0.0.1:{ports['verifier']}"
+    setup = f"http://127.0.0.1:{ports['setup']}"
+
+    # issuer serves JWKS and a page with the CRESCENT_JWT meta tag
+    jwks = json.loads(_get(issuer + "/.well-known/jwks.json"))
+    assert jwks["keys"][0]["kty"] == "RSA"
+    page = _get(issuer + "/welcome?user=alice").decode()
+    token = re.search(r'name="CRESCENT_JWT" content="([^"]+)"', page).group(1)
+
+    # setup service exposes parameter blobs
+    assert len(_get(setup + "/verifier_params")) > 100
+    assert len(_get(setup + "/show_params")) > 100
+
+    # client helper: prepare (async), poll status until ready
+    uid = _post(helper + "/prepare", {"cred": token, "schema_uid": "jwt_corporate_1"})["cred_uid"]
+    deadline = time.time() + 600
+    while time.time() < deadline:
+        st = json.loads(_get(helper + f"/status?cred_uid={uid}"))["status"]
+        if st == "ready":
+            break
+        assert st in ("preparing",), st
+        time.sleep(2)
+    assert st == "ready"
+
+    # unknown credential -> "unknown" (client_helper main.rs:246-257)
+    assert json.loads(_get(helper + "/status?cred_uid=nope"))["status"] == "unknown"
+
+    # show via helper, then verify via verifier service
+    proof = _get(
+        helper + f"/show?cred_uid={uid}&disc_uid=crescent://email_domain&challenge=c1"
+    ).decode()
+    res = _post(
+        verifier + "/verify",
+        {"proof": proof, "proof_spec": '{"revealed": ["email"]}', "challenge": "c1"},
+    )
+    assert res["verified"] is True
+    assert json.loads(res["revealed"])["email_value"] == "contoso.com"
+
+    # challenge replay is rejected (verifier main.rs:299)
+    res2 = _post(
+        verifier + "/verify",
+        {"proof": proof, "proof_spec": '{"revealed": ["email"]}', "challenge": "c1"},
+    )
+    assert res2["verified"] is False
+
+    # unsupported disclosure uid rejected by helper
+    try:
+        _get(helper + f"/show?cred_uid={uid}&disc_uid=crescent://over_18&challenge=c2")
+        raised = False
+    except urllib.error.HTTPError as e:
+        raised = e.code == 400
+    assert raised
+
+    # delete
+    assert json.loads(_get(helper + f"/delete?cred_uid={uid}"))["ok"]
+    assert json.loads(_get(helper + f"/status?cred_uid={uid}"))["status"] == "unknown"
