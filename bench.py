@@ -41,45 +41,30 @@ def main():
     n = 1 << LOG_N
     rng = random.Random(42)
 
-    # deterministic pseudo-random affine points: k_i * G precomputed on
-    # device via batched scalar-mul of small random multiples of G (host EC
-    # would take minutes for 2^16 points).
-    log(f"generating {n} points on device ...")
-    from crescent_tpu.ops.ec import get_curve_ctx, JPoints
+    log(f"loading {n} cached points (generates on first run) ...")
+    from crescent_tpu.ops.ec import get_curve_ctx
+    from crescent_tpu.utils.bench_points import cached_points
 
     ctx = get_curve_ctx(BN254_G1)
-    seeds = [rng.randrange(1, 1 << 20) for _ in range(n)]
-    base = ctx.points_to_device([BN254_G1.generator])
-    es = ctx.fctx.elem_shape
-    P = JPoints(
-        jnp.broadcast_to(base.x[0], (n,) + es),
-        jnp.broadcast_to(base.y[0], (n,) + es),
-        jnp.broadcast_to(base.z[0], (n,) + es),
-    )
-    kl = jnp.asarray(limb.ints_to_limbs(seeds))
     t0 = time.time()
-    jac = ctx.scalar_mul(kl, P)
-    jax.block_until_ready(jac)
-    log(f"point gen (jacobian, device): {time.time()-t0:.1f}s")
-    # normalize to affine on host once (exact), reuse as MSM input
-    t0 = time.time()
-    aff = ctx.points_to_host(jac)
-    log(f"to affine on host: {time.time()-t0:.1f}s")
+    px, py = cached_points(n)
+    log(f"points ready: {time.time()-t0:.1f}s")
 
-    m = MSM(BN254_G1, c=8, lanes=256, small_cutoff=0)
-    Pd = ctx.points_to_device(aff)
+    lanes = int(os.environ.get("BENCH_LANES", "256"))
+    m = MSM(BN254_G1, c=8, lanes=lanes, small_cutoff=0)
+    px, py = jnp.asarray(px), jnp.asarray(py)
     valid = jnp.ones(n, dtype=jnp.uint32)
     scalars = jnp.asarray(limb.ints_to_limbs([rng.randrange(BN254_G1.n) for _ in range(n)]))
 
     t0 = time.time()
-    r = m.run_device(Pd.x, Pd.y, valid, scalars)
+    r = m.run_device(px, py, valid, scalars)
     jax.block_until_ready(r)
     log(f"msm first call (compile+run): {time.time()-t0:.1f}s")
 
     best = float("inf")
     for i in range(3):
         t0 = time.time()
-        r = m.run_device(Pd.x, Pd.y, valid, scalars)
+        r = m.run_device(px, py, valid, scalars)
         jax.block_until_ready(r)
         dt = time.time() - t0
         log(f"msm run {i}: {dt:.3f}s")

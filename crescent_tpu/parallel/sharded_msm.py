@@ -66,7 +66,7 @@ def sharded_msm_fn(ctx: CurveCtx, mesh: Mesh, c: int = 8, lanes: int = 64, axis:
         out_specs=JPoints(
             P(*([None] * (len(es)))), P(*([None] * (len(es)))), P(*([None] * (len(es))))
         ),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(f)
 

@@ -68,7 +68,7 @@ class ShardedNTT:
                 mesh=mesh,
                 in_specs=(P(axis, None, None), P(axis, None, None)),
                 out_specs=P(None, axis, None),
-                check_rep=False,
+                check_vma=False,
             )
         )
 

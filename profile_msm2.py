@@ -17,7 +17,7 @@ valid = jnp.ones(n, dtype=jnp.uint32)
 sc = jnp.asarray(limb.ints_to_limbs([rng.randrange(BN254_G1.n) for _ in range(n)]))
 for c in [8]:
     digits = M.scalar_digits(sc, c)
-    for lanes in [32, 64, 128]:
+    for lanes in [64, 128]:
         fn = jax.jit(functools.partial(M._msm_impl, ctx, c=c, lanes=lanes))
         t0=time.time(); r = fn(px, py, valid, digits); jax.block_until_ready(r); log(f"msm[c={c},L={lanes}] compile+run", round(time.time()-t0,2))
         t0=time.time(); r = fn(px, py, valid, digits); jax.block_until_ready(r); log(f"msm[c={c},L={lanes}] run", round(time.time()-t0,3))
