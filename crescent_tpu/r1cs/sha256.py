@@ -180,6 +180,61 @@ def sha256_gadget(cs: ConstraintSystem, message_bytes: list) -> list:
     return digest
 
 
+def sha256_var_gadget(cs: ConstraintSystem, message_bytes: list, num_blocks) -> list:
+    """Variable-length SHA-256 (circom sha256general semantics): the message
+    buffer is max-length with SHA padding already embedded at position
+    `message_padded_bytes`; all blocks are compressed, and the digest is the
+    state after block `num_blocks` (= message_padded_bytes/64), selected with
+    a one-hot indicator so the circuit is independent of the actual length.
+
+    num_blocks: Var holding the 1-based count of real blocks.
+    Returns 32 digest bytes as lists of 8 bit-wires."""
+    assert len(message_bytes) % 64 == 0
+    total_blocks = len(message_bytes) // 64
+    byte_bits = [cs.decompose_bits(b, 8) for b in message_bytes]
+
+    states = []
+    state = [word_const(cs, h) for h in H_INIT]
+    for blk in range(total_blocks):
+        words = bytes_to_block_words(cs, byte_bits[64 * blk : 64 * (blk + 1)])
+        state = sha256_compress(cs, state, words)
+        states.append(state)
+
+    # one-hot indicator over blocks: sum ind = 1, sum ind_b*(b+1) = num_blocks
+    nb_val = cs.value(num_blocks)
+    ind = [cs.alloc_bool(1 if (b + 1) == nb_val else 0) for b in range(total_blocks)]
+    sum_ind = LC()
+    sum_idx = LC()
+    for b, iv in enumerate(ind):
+        sum_ind = sum_ind + LC.of(iv)
+        sum_idx = sum_idx + LC.of(iv, b + 1)
+    cs.assert_equal(sum_ind, LC.of(1))
+    cs.assert_equal(sum_idx, LC.of(num_blocks))
+
+    # digest word bits: bit = sum_b ind_b * state_b_bit  (one mult each)
+    out_words = []
+    for w in range(8):
+        bits = []
+        for k in range(32):
+            acc_val = 0
+            acc_lc = LC()
+            for b in range(total_blocks):
+                sb = states[b][w][k]
+                prod = cs.mul(ind[b], sb)
+                acc_lc = acc_lc + LC.of(prod)
+                acc_val += cs.value(prod)
+            bit = cs.alloc(acc_val)  # one-hot ind => acc_val is 0/1
+            cs.assert_equal(LC.of(bit), acc_lc)
+            bits.append(bit)
+        out_words.append(bits)
+
+    digest = []
+    for wrd in out_words:
+        for j in range(4):
+            digest.append([wrd[8 * (3 - j) + k] for k in range(8)])
+    return digest
+
+
 def digest_bytes_value(cs: ConstraintSystem, digest: list) -> bytes:
     out = []
     for byte_bits in digest:
