@@ -142,6 +142,43 @@ def deser_g2_uncompressed(b: bytes) -> G2Point:
     return pt
 
 
+# ---------------------------------------------------------------------------
+# halo2curves T-256 compressed points (33 bytes, CompressedFlagConfig::Extra:
+# byte 0 = flag byte with bit7 = sign (y odd), bit6 = identity; bytes 1..33 =
+# x little-endian).  Spartan's CompressedGroup (forks/Spartan-t256/src/
+# group.rs:17) and every transcript append_point use this layout.
+# ---------------------------------------------------------------------------
+
+_T256_SIGN_FLAG = 0x80
+_T256_IDENT_FLAG = 0x40
+
+
+def ser_t256_compressed(p: AffinePoint) -> bytes:
+    if p is None:
+        return bytes([_T256_IDENT_FLAG]) + bytes(32)
+    flag = _T256_SIGN_FLAG if (p[1] & 1) else 0
+    return bytes([flag]) + int(p[0]).to_bytes(32, "little")
+
+
+def deser_t256_compressed(b: bytes) -> AffinePoint:
+    from ..core.curves import T256
+
+    assert len(b) == 33
+    flag, xb = b[0], b[1:]
+    if flag & _T256_IDENT_FLAG:
+        if any(xb) or (flag & ~(_T256_IDENT_FLAG | _T256_SIGN_FLAG)):
+            raise ValueError("invalid identity encoding")
+        return None
+    x = int.from_bytes(xb, "little")
+    if x >= T256.p:
+        raise ValueError("x out of range")
+    pt = T256.lift_x(x)
+    want_odd = bool(flag & _T256_SIGN_FLAG)
+    if bool(pt[1] & 1) != want_odd:
+        pt = (pt[0], T256.p - pt[1])
+    return pt
+
+
 def ser_u64(x: int) -> bytes:
     return int(x).to_bytes(8, "little")
 

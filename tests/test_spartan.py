@@ -129,3 +129,143 @@ def test_pedersen_commit_t256():
     assert c1 == c2
     c3 = sp.commit_vector(gens, vals, (blind + 1) % Q)
     assert c1 != c3  # hiding base matters
+
+
+# --- full NIZK (zk-sumcheck + poly commitment + bullet IPA) -----------------
+
+
+def _synthetic_r1cs(num_cons, num_vars, num_inputs, seed=7):
+    r = random.Random(seed)
+    size_z = num_vars + num_inputs + 1
+    Z = [r.randrange(Q) for _ in range(size_z)]
+    Z[num_vars] = 1
+    A, B, C = [], [], []
+    for i in range(num_cons):
+        ai, bi = i % size_z, (i + 2) % size_z
+        A.append((i, ai, 1))
+        B.append((i, bi, 1))
+        ab = Z[ai] * Z[bi] % Q
+        ci = (i + 3) % size_z
+        if Z[ci] == 0:
+            C.append((i, num_vars, ab))
+        else:
+            C.append((i, ci, ab * pow(Z[ci], -1, Q) % Q))
+    inst = sp.SpartanR1CSInstance(num_cons, num_vars, num_inputs, A, B, C)
+    return inst, Z[:num_vars], Z[num_vars + 1 :]
+
+
+def test_t256_hash_to_curve_on_curve():
+    from crescent_tpu.utils.hash_to_curve import expand_message_xmd, t256_hash_to_curve
+
+    # RFC 9380 expand_message_xmd test vector (§K.1)
+    out = expand_message_xmd(b"", b"QUUX-V01-CS02-with-expander-SHA256-128", 0x20)
+    assert out.hex() == "68a985b87eb6b46952128911f2a4412bbc302a9d759667f87f7a21d803f07235"
+    for i in range(3):
+        assert T256.is_on_curve(t256_hash_to_curve(f"msg {i}".encode()))
+
+
+def test_multicommit_gens_deterministic():
+    g1 = sp.MultiCommitGens.new(4, b"test-gens")
+    g2 = sp.MultiCommitGens.new(4, b"test-gens")
+    assert g1.G == g2.G and g1.h == g2.h
+    g3 = sp.MultiCommitGens.new(4, b"other")
+    assert g1.G != g3.G
+
+
+def test_sigma_protocols_roundtrip():
+    gens1 = sp.MultiCommitGens.new(1, b"test-sigma")
+    tape = sp.RandomTape()
+    x, r = rng.randrange(Q), rng.randrange(Q)
+    ts = Transcript(b"ex")
+    proof, C = sp.KnowledgeProof.prove(gens1, ts, tape, x, r)
+    proof.verify(gens1, Transcript(b"ex"), C)
+
+    v, s1, s2 = rng.randrange(Q), rng.randrange(Q), rng.randrange(Q)
+    proof, C1, C2 = sp.EqualityProof.prove(gens1, Transcript(b"ex"), tape, v, s1, v, s2)
+    proof.verify(gens1, Transcript(b"ex"), C1, C2)
+
+    y, rX, rY, rZ = rng.randrange(Q), rng.randrange(Q), rng.randrange(Q), rng.randrange(Q)
+    proof, X, Y, Z = sp.ProductProof.prove(
+        gens1, Transcript(b"ex"), tape, x, rX, y, rY, x * y % Q, rZ
+    )
+    proof.verify(gens1, Transcript(b"ex"), X, Y, Z)
+
+
+def test_dot_product_proof_log():
+    n = 16
+    gens = sp.DotProductProofGens(n, b"test-dppl")
+    tape = sp.RandomTape()
+    x = [rng.randrange(Q) for _ in range(n)]
+    a = [rng.randrange(Q) for _ in range(n)]
+    y = sum(u * v for u, v in zip(x, a)) % Q
+    proof, Cx, Cy = sp.DotProductProofLog.prove(
+        gens, Transcript(b"ex"), tape, x, rng.randrange(Q), a, y, rng.randrange(Q)
+    )
+    proof.verify(n, gens, Transcript(b"ex"), a, Cx, Cy)
+
+
+def test_poly_eval_proof():
+    m = 6
+    poly = sp.DenseMlPoly([rng.randrange(Q) for _ in range(1 << m)])
+    gens = sp.PolyCommitmentGens(m, b"test-pep")
+    tape = sp.RandomTape()
+    comm, blinds = sp.poly_commit(poly, gens, tape)
+    r = [rng.randrange(Q) for _ in range(m)]
+    eval_ = poly.evaluate(r)
+    proof, C_Zr = sp.PolyEvalProof.prove(
+        poly, blinds, r, eval_, rng.randrange(Q), gens, Transcript(b"ex"), tape
+    )
+    proof.verify(gens, Transcript(b"ex"), r, C_Zr, comm)
+
+
+def test_nizk_end_to_end():
+    inst, vars_, inputs = _synthetic_r1cs(32, 32, 5)
+    assert inst.is_sat(vars_, inputs)
+    gens = sp.NIZKGens(inst.num_cons, inst.num_vars, inst.num_inputs)
+    proof = sp.NIZK.prove(inst, vars_, inputs, gens, Transcript(b"example"))
+    proof.verify(inst, inputs, Transcript(b"example"), gens)
+
+    # wrong public input -> reject
+    bad = list(inputs)
+    bad[0] = (bad[0] + 1) % Q
+    try:
+        proof.verify(inst, bad, Transcript(b"example"), gens)
+        assert False, "tampered input accepted"
+    except sp.SpartanError:
+        pass
+
+    # tampered proof bytes -> reject
+    import copy
+
+    p2 = copy.deepcopy(proof)
+    p2.r1cs_sat_proof.comm_vars_at_ry = sp._comp(
+        T256.add(sp._decomp(p2.r1cs_sat_proof.comm_vars_at_ry), T256.generator)
+    )
+    try:
+        p2.verify(inst, inputs, Transcript(b"example"), gens)
+        assert False, "tampered proof accepted"
+    except sp.SpartanError:
+        pass
+
+
+def test_nizk_unsatisfied_rejected():
+    inst, vars_, inputs = _synthetic_r1cs(32, 32, 5)
+    vars_bad = list(vars_)
+    vars_bad[3] = (vars_bad[3] + 1) % Q
+    assert not inst.is_sat(vars_bad, inputs)
+    gens = sp.NIZKGens(inst.num_cons, inst.num_vars, inst.num_inputs)
+    proof = sp.NIZK.prove(inst, vars_bad, inputs, gens, Transcript(b"example"))
+    try:
+        proof.verify(inst, inputs, Transcript(b"example"), gens)
+        assert False, "unsatisfied instance accepted"
+    except sp.SpartanError:
+        pass
+
+
+def test_instance_padding_rules():
+    # 3 cons, 5 vars, 2 inputs -> 4 cons, 8 vars, input columns shifted by 3
+    A = [(0, 0, 1), (0, 6, 2)]  # col 6 = input 0 at unpadded layout (5+1+0)
+    inst = sp.SpartanR1CSInstance.from_unpadded(3, 5, 2, A, [(0, 5, 1)], [])
+    assert inst.num_cons == 4 and inst.num_vars == 8
+    assert (0, 9, 2) in inst.A  # 6 + (8-5) = 9
+    assert (0, 8, 1) in inst.B  # constant column 5 -> 8
