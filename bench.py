@@ -70,8 +70,23 @@ def main():
         log(f"msm run {i}: {dt:.3f}s")
         best = min(best, dt)
 
-    # correctness spot-check on a subsample wouldn't validate the full sum;
-    # the kernel is validated bit-exactly in tests/ against the host oracle.
+    # On-device correctness gate: tests/ force the CPU backend, so they never
+    # exercise real-TPU numerics (which bit-exactness depends on — e.g. MXU
+    # matmul precision).  Validate a 1k-point sub-MSM against the host oracle
+    # and require the full result on-curve before reporting a number.
+    log("validating on-device result vs host oracle ...")
+    from crescent_tpu.ops.ec import JPoints
+
+    nv = min(n, 1024)
+    sub = m.run_device(px[:nv], py[:nv], valid[:nv], scalars[:nv])
+    got = ctx.points_to_host(JPoints(sub.x[None], sub.y[None], sub.z[None]))[0]
+    sc_ints = limb.limbs_to_ints(jax.device_get(scalars[:nv]))
+    pts = ctx.points_to_host(
+        JPoints(px[:nv], py[:nv], jnp.broadcast_to(ctx.fp.one_mont, px[:nv].shape))
+    )
+    want = BN254_G1.msm(sc_ints, pts)
+    assert got == want, "ON-DEVICE MSM MISMATCH vs host oracle — not benchmarking garbage"
+    log("validation OK")
     pps = n / best
     out = {
         "metric": "bn254_g1_msm_points_per_sec",

@@ -149,9 +149,14 @@ def _mul_acc(x: jax.Array, y: jax.Array, out_width: int) -> jax.Array:
         axis=-1,
     )
     T = jnp.asarray(_routing_matrix(L, out_width))
+    # precision=HIGHEST is load-bearing on TPU: the MXU's default f32 matmul
+    # truncates inputs to bf16 (8 mantissa bits), silently corrupting the
+    # 16-bit partial products.  HIGHEST selects the exact multi-pass bf16
+    # decomposition, keeping f32 arithmetic bit-exact (values < 2^21 < 2^24).
     acc = jax.lax.dot_general(
         flat, T, (((flat.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     return acc.astype(U32)
 

@@ -374,22 +374,26 @@ def start_service(handler_cls, port: int) -> ThreadingHTTPServer:
 
 
 def run_all(base_path: str, ports: dict | None = None) -> dict:
-    """Start all four services; returns {name: (server, port)}."""
-    ports = ports or {
+    """Start all four services; returns {name: (server, port)}.
+
+    Pass port 0 for any service to bind an ephemeral port (the actual port
+    is read back from the socket) — keeps tests free of bind conflicts."""
+    ports = dict(ports or {
         "issuer": common.ISSUER_PORT,
         "setup": common.SETUP_PORT,
         "helper": common.CLIENT_HELPER_PORT,
         "verifier": common.VERIFIER_PORT,
-    }
+    })
     out = {}
-    out["issuer"] = (start_service(IssuerService(base_path).handler(), ports["issuer"]), ports["issuer"])
-    out["setup"] = (start_service(SetupService(base_path).handler(), ports["setup"]), ports["setup"])
-    out["helper"] = (start_service(ClientHelperService(base_path).handler(), ports["helper"]), ports["helper"])
-    out["verifier"] = (
-        start_service(
-            VerifierService(base_path, f"http://127.0.0.1:{ports['setup']}").handler(),
-            ports["verifier"],
-        ),
-        ports["verifier"],
-    )
+    for name, svc in (
+        ("issuer", lambda: IssuerService(base_path)),
+        ("setup", lambda: SetupService(base_path)),
+        ("helper", lambda: ClientHelperService(base_path)),
+        ("verifier", lambda: VerifierService(
+            base_path, f"http://127.0.0.1:{ports['setup']}"
+        )),
+    ):
+        srv = start_service(svc().handler(), ports[name])
+        ports[name] = srv.server_address[1]
+        out[name] = (srv, ports[name])
     return out

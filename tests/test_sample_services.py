@@ -53,8 +53,11 @@ def stack(tmp_path_factory):
     with open(base + "/issuer.prv", "w") as f:
         f.write(priv)
     api.run_zksetup(base, StubJWTFrontend(), rng)
-    ports = {"issuer": 18001, "setup": 18002, "helper": 18003, "verifier": 18004}
-    servers = services.run_all(base, ports)
+    # port 0 = ephemeral: no bind conflicts across parallel/stale runs
+    servers = services.run_all(
+        base, {"issuer": 0, "setup": 0, "helper": 0, "verifier": 0}
+    )
+    ports = {name: port for name, (_srv, port) in servers.items()}
     yield ports
     for srv, _ in servers.values():
         srv.shutdown()
