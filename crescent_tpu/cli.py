@@ -3,7 +3,10 @@
 Mirrors creds/src/main.rs:52-93: subcommands share state through the
 `test-vectors/<name>/` directory layout (CachePaths).  `gen-fixtures`
 replaces the reference's run_setup.sh:96-126 sample-credential generation
-(random issuer key + deterministic-structure JWT).
+(random issuer key + deterministic-structure JWT; for device-bound sets a
+P-256 device key pair, gen_mdl_device_key.sh equivalent).
+
+Parameter sets (README.md:38-44): rs256, rs256-sd, rs256-db (mdl1 pending).
 
 Usage:
   python -m crescent_tpu.cli gen-fixtures --name rs256
@@ -11,32 +14,60 @@ Usage:
   python -m crescent_tpu.cli prove   --name rs256
   python -m crescent_tpu.cli show    --name rs256
   python -m crescent_tpu.cli verify  --name rs256
+
+--frontend stub swaps in the IO-compatible placeholder statement (fast,
+NOT sound) for protocol testing; the default is the real JWT circuit.
 """
 
 from __future__ import annotations
 
 import argparse
+import hashlib
 import json
 import os
 import sys
 import time
 
 from .credentials import api
-from .credentials.circuits import StubJWTFrontend
+from .credentials.circuits import JWTFrontend, StubJWTFrontend
 from .credentials.prep_inputs import ProofSpec, parse_config, prepare_prover_inputs
 from .credentials.structs import IOLocations
 
 DEFAULT_BASE = "test-vectors"
 
-RS256_DEFAULT_CONFIG = {
-    "alg": "RS256",
-    "exp": {"type": "number", "max_claim_byte_len": 31, "reveal": True},
-    "email": {
-        "type": "string",
-        "reveal": True,
-        "max_claim_byte_len": 31,
-        "reveal_domain_only": True,
+_EMAIL_CLAIM = {
+    "type": "string", "reveal": True, "max_claim_byte_len": 31,
+    "reveal_domain_only": True,
+}
+# max_cred_len sized for the generated sample tokens; the reference default
+# is 2048 (prep_inputs.rs:24) — raise it in config.json for real-world JWTs.
+DEFAULT_CONFIGS = {
+    "rs256": {
+        "alg": "RS256",
+        "max_cred_len": 384,
+        "exp": {"type": "number", "max_claim_byte_len": 31, "reveal": True},
+        "email": dict(_EMAIL_CLAIM),
     },
+    "rs256-sd": {
+        "alg": "RS256",
+        "max_cred_len": 384,
+        "exp": {"type": "number", "max_claim_byte_len": 31, "reveal": True},
+        "family_name": {
+            "type": "string", "max_claim_byte_len": 31, "reveal_digest": True,
+        },
+    },
+    "rs256-db": {
+        "alg": "RS256",
+        "max_cred_len": 576,
+        "device_bound": True,
+        "exp": {"type": "number", "max_claim_byte_len": 31, "reveal": True},
+        "email": dict(_EMAIL_CLAIM),
+    },
+}
+DEFAULT_PROOF_SPECS = {
+    "rs256": '{"revealed": ["email"]}',
+    "rs256-sd": '{"revealed": ["family_name"]}',
+    "rs256-db": '{"revealed": ["email"], "device_bound": true}',
 }
 
 
@@ -46,13 +77,29 @@ def _paths(args) -> api.CachePaths:
     return api.CachePaths(base)
 
 
+def _frontend(args):
+    if getattr(args, "frontend", "real") == "stub":
+        return StubJWTFrontend()
+    return JWTFrontend()
+
+
+def _load_device(paths):
+    from .credentials.device import TestDevice
+
+    with open(paths.base + "device.prv") as f:
+        secret = int(f.read().strip())
+    return TestDevice(secret=secret)
+
+
 def cmd_gen_fixtures(args):
     from .utils import jwt as jwtutil
 
     paths = _paths(args)
+    default_cfg = DEFAULT_CONFIGS.get(args.name, DEFAULT_CONFIGS["rs256"])
     if not os.path.exists(paths.config):
         with open(paths.config, "w") as f:
-            json.dump(RS256_DEFAULT_CONFIG, f, indent=2)
+            json.dump(default_cfg, f, indent=2)
+    config = json.load(open(paths.config))
     priv, pub = jwtutil.generate_rsa_keypair(2048)
     with open(paths.issuer_pem, "w") as f:
         f.write(pub)
@@ -60,18 +107,30 @@ def cmd_gen_fixtures(args):
         f.write(priv)
     claims = {
         "email": "alice@contoso.com",
+        "family_name": "Example",
         "exp": int(time.time()) + 365 * 86400,
         "iat": int(time.time()),
-        "iss": "https://issuer.example/",
         "sub": "alice",
-        "tenant_ctry": "US",
     }
+    if config.get("device_bound", False):
+        from .credentials.device import TestDevice
+        from .credentials.ecdsa_pop import split_public_key_x
+
+        dev = TestDevice()
+        with open(paths.base + "device.prv", "w") as f:
+            f.write(str(dev.secret))
+        with open(paths.device_pub_pem, "w") as f:
+            f.write(dev.public_pem())
+        q0, q1 = split_public_key_x(dev.public[0])
+        claims["device_key_0"] = q0
+        claims["device_key_1"] = q1
+    # keep only claims the config knows plus standard ones, minified token
     token = jwtutil.sign_jwt_rs256(claims, priv)
     with open(paths.jwt, "w") as f:
         f.write(token)
     if not os.path.exists(paths.proof_spec):
         with open(paths.proof_spec, "w") as f:
-            f.write(api.DEFAULT_PROOF_SPEC)
+            f.write(DEFAULT_PROOF_SPECS.get(args.name, api.DEFAULT_PROOF_SPEC))
     print(f"fixtures written under {paths.base}")
     return 0
 
@@ -79,7 +138,7 @@ def cmd_gen_fixtures(args):
 def cmd_zksetup(args):
     paths = _paths(args)
     t0 = time.time()
-    api.run_zksetup(paths.base, StubJWTFrontend())
+    api.run_zksetup(paths.base, _frontend(args))
     print(f"zksetup completed in {time.time()-t0:.1f}s; artifacts in {paths.cache}")
     return 0
 
@@ -92,29 +151,53 @@ def cmd_prove(args):
         token = f.read().strip()
     with open(paths.issuer_pem) as f:
         issuer_pem = f.read()
+    device_pub_pem = None
+    if config.get("device_bound", False):
+        device_pub_pem = open(paths.device_pub_pem).read()
     t0 = time.time()
-    prover_inputs, prover_aux, _ = prepare_prover_inputs(config, token, issuer_pem)
+    prover_inputs, prover_aux, _ = prepare_prover_inputs(
+        config, token, issuer_pem, device_pub_pem=device_pub_pem
+    )
     cs = api.create_client_state(
-        paths, prover_inputs, StubJWTFrontend(), prover_aux=json.dumps(prover_aux)
+        paths, prover_inputs, _frontend(args), prover_aux=json.dumps(prover_aux)
     )
     api.write_to_file(cs, paths.client_state)
     print(f"Proving time: {time.time()-t0:.1f}s; client state written to {paths.client_state}")
     return 0
 
 
+def _load_proof_spec(paths, args):
+    """main.rs:168-196: load the spec; when device-bound, replace the raw
+    presentation message with its SHA-256 digest."""
+    with open(paths.proof_spec) as f:
+        spec = ProofSpec.from_json(f.read())
+    if args and getattr(args, "presentation_message", None):
+        spec.presentation_message = args.presentation_message.encode()
+    if spec.device_bound and spec.presentation_message is not None:
+        spec.presentation_message = hashlib.sha256(spec.presentation_message).digest()
+    elif spec.device_bound:
+        # a fresh show still needs a message to sign; default like the CLI
+        spec.presentation_message = hashlib.sha256(b"default presentation message").digest()
+    return spec
+
+
 def cmd_show(args):
     paths = _paths(args)
     client_state = api.read_from_file(paths.client_state)
-    pp = api.read_from_file(paths.prover_params)
     range_pk = api.read_from_file(paths.range_pk)
     io_locations = IOLocations.from_file(paths.io_locations)
-    with open(paths.proof_spec) as f:
-        spec = ProofSpec.from_json(f.read())
-    if args.presentation_message:
-        spec.presentation_message = args.presentation_message.encode()
+    spec = _load_proof_spec(paths, args)
+    device_signature = None
+    if spec.device_bound:
+        dev = _load_device(paths)
+        device_signature = dev.sign(spec.presentation_message)
     t0 = time.time()
-    sp = api.create_show_proof(client_state, range_pk, io_locations, spec)
+    sp = api.create_show_proof(
+        client_state, range_pk, io_locations, spec, device_signature=device_signature
+    )
     api.write_to_file(sp, paths.show_proof)
+    with open(paths.proof_spec + ".resolved", "w") as f:
+        f.write(spec.to_json())
     blob = open(paths.show_proof, "rb").read()
     print(f"show completed in {time.time()-t0:.1f}s; proof size {len(blob)} bytes -> {paths.show_proof}")
     return 0
@@ -131,8 +214,10 @@ def cmd_verify(args):
         config_str=open(paths.config).read(),
     )
     show_proof = api.read_from_file(paths.show_proof)
-    with open(paths.proof_spec) as f:
-        spec = ProofSpec.from_json(f.read())
+    if os.path.exists(paths.proof_spec + ".resolved"):
+        spec = ProofSpec.from_json(open(paths.proof_spec + ".resolved").read())
+    else:
+        spec = _load_proof_spec(paths, None)
     t0 = time.time()
     ok, revealed = api.verify_show(vp, show_proof, spec)
     print(f"Verification time: {time.time()-t0:.2f}s")
@@ -155,6 +240,10 @@ def main(argv=None):
     ]:
         sp = sub.add_parser(name)
         sp.add_argument("--name", default="rs256")
+        sp.add_argument(
+            "--frontend", choices=["real", "stub"], default="real",
+            help="statement circuit: real JWT statement or fast IO-stub",
+        )
         if name == "show":
             sp.add_argument("--presentation-message", default=None)
         sp.set_defaults(fn=fn)

@@ -223,7 +223,13 @@ def create_client_state(
     from .prep_inputs import parse_config
 
     config = parse_config(pp.config_str)
-    r1cs, assignment, _io = frontend.synthesize(config, prover_inputs)
+    # hashed-claim preimages live in prover_aux (prepare_prover_aux); merge
+    # them into the synthesis inputs so frontends can derive {name}_digest
+    synth_inputs = dict(prover_inputs)
+    if prover_aux:
+        for k, v in json.loads(prover_aux).items():
+            synth_inputs.setdefault(k, v)
+    r1cs, assignment, _io = frontend.synthesize(config, synth_inputs)
     assert r1cs.is_satisfied(assignment), "witness does not satisfy the statement"
 
     proof = groth16.prove(pp.groth16_params, r1cs, assignment, rng)
@@ -281,7 +287,10 @@ def create_show_proof(
                 f"Proof spec asked to reveal hashed attribute {attr}, but client state is missing aux data"
             )
         aux = json.loads(client_state.aux)
-        revealed_preimages[attr] = str(aux[attr])
+        # JSON-serialized form, quotes included for strings: this is what
+        # the circuit hashes (the [value_l, value_r) JSON slice) and what
+        # the reference ships (lib.rs:351 `aux[attr].to_string()`)
+        revealed_preimages[attr] = json.dumps(aux[attr], separators=(",", ":"))
 
     if psi.device_bound:
         io_types[io_locations.get_io_location("device_key_0_value") - 1] = PublicIOType.COMMITTED
@@ -444,6 +453,11 @@ def verify_show(
             except Exception:
                 return False, ""
     for attr in psi.hashed:
-        revealed[attr] = preimages.get(attr)
+        # preimages carry the JSON-serialized claim slice (quotes included
+        # for strings — what the circuit hashes); decode for the caller
+        try:
+            revealed[attr] = json.loads(preimages.get(attr))
+        except (TypeError, ValueError):
+            revealed[attr] = preimages.get(attr)
 
     return True, json.dumps(revealed)

@@ -20,6 +20,7 @@ replace it (tracked as the main round-2 item in PARITY.md).
 from __future__ import annotations
 
 import hashlib
+import json
 
 from ..core.fields import BN254_FR as R
 from ..r1cs.builder import LC, ConstraintSystem
@@ -32,6 +33,11 @@ class StubJWTFrontend(CircuitFrontend):
     """Public-IO-faithful placeholder statement for the rs256 family."""
 
     def _claim_names(self, config: dict):
+        # Config insertion order, NOT sorted: prepare_setup.py's claim loop
+        # iterates config.json in order, and parse_config appends the
+        # device_key_0/1 claims last — the show path's hardcoded
+        # committed_input_openings indices ([0]=exp, [1]=dk0, [2]=dk1,
+        # lib.rs:372-383) depend on exp_value preceding device_key_*_value.
         revealed, hashed = [], []
         for name, entry in config.items():
             if name in CRESCENT_CONFIG_KEYS:
@@ -40,7 +46,7 @@ class StubJWTFrontend(CircuitFrontend):
                 hashed.append(name)
             elif entry.get("reveal", False):
                 revealed.append(name)
-        return sorted(hashed), sorted(revealed)
+        return hashed, revealed
 
     def _build(self, config: dict, prover_inputs: dict | None) -> ConstraintSystem:
         cs = ConstraintSystem()
@@ -80,8 +86,152 @@ class StubJWTFrontend(CircuitFrontend):
         hashed, _ = self._claim_names(config)
         for name in hashed:
             if f"{name}_digest" not in pi and name in pi:
-                digest = hashlib.sha256(str(pi[name]).encode()).digest()
+                # hash the JSON-serialized value (quotes included for
+                # strings) — the slice the real circuit hashes
+                pre = json.dumps(pi[name], separators=(",", ":"))
+                digest = hashlib.sha256(pre.encode()).digest()
                 pi[f"{name}_digest"] = bits_to_num(digest[:31])
         cs = self._build(config, pi)
         assert cs.is_satisfied()
+        return cs.to_r1cs(), cs.assignment(), cs.io_locations()
+
+
+class JWTFrontend(CircuitFrontend):
+    """The REAL rs256 statement: SHA-256 + RSA-65537 + base64 decode + claim
+    matching, built from crescent_tpu.r1cs.jwt_circuit (reference:
+    main_header_rs256.circom.template + prepare_setup.py claim loop).
+
+    Public IO layout is identical to StubJWTFrontend (digests, modulus
+    limbs, claim values), so IOLocations / show / verify are unchanged —
+    only the soundness of the statement differs (this one actually verifies
+    the credential).
+    """
+
+    def __init__(self, key_bits: int = 2048):
+        self.key_bits = key_bits
+
+    def _sizes(self, config: dict) -> tuple[int, int]:
+        max_msg = int(config.get("max_cred_len", 2048))
+        assert max_msg % 64 == 0
+        max_json = ((max_msg + 3) // 4) * 3  # base64_decoded_size
+        return max_msg, max_json
+
+    def _claims(self, config: dict):
+        out = []
+        for name, entry in config.items():
+            if name in CRESCENT_CONFIG_KEYS:
+                continue
+            out.append((name, entry))
+        return out
+
+    def _build(self, config: dict, prover_inputs: dict | None) -> ConstraintSystem:
+        from ..r1cs import jwt_circuit as jc
+        from ..r1cs.bigint import rsa65537_verify_gadget
+        from ..r1cs.builder import LC
+        from ..r1cs.sha256 import sha256_var_gadget
+        from .prep_inputs import CIRCOM_RS256_LIMB_BITS
+
+        cs = ConstraintSystem()
+        M, J = self._sizes(config)
+        claims = self._claims(config)
+        pi = prover_inputs or {}
+
+        def val(name, default=0):
+            v = pi.get(name, default)
+            if isinstance(v, list):
+                return [int(x) for x in v]
+            return int(v)
+
+        # ---- public IO (same order as StubJWTFrontend) ----
+        hashed = [n for n, e in claims if e.get("reveal_digest", False)]
+        revealed = [
+            n for n, e in claims
+            if e.get("reveal", False) and not e.get("reveal_digest", False)
+        ]
+        pub_digest = {
+            n: cs.alloc_public(val(f"{n}_digest"), f"{n}_digest") for n in hashed
+        }
+        n_limbs = -(-self.key_bits // CIRCOM_RS256_LIMB_BITS)
+        modulus_vals = val("modulus", [0] * n_limbs)
+        pub_modulus = [
+            cs.alloc_public(modulus_vals[i], f"modulus[{i}]") for i in range(n_limbs)
+        ]
+        pub_value = {
+            n: cs.alloc_public(val(f"{n}_value"), f"{n}_value") for n in revealed
+        }
+
+        # ---- witness: message / signature / framing ----
+        msg_vals = val("message", [0] * M)
+        message = [cs.alloc(b) for b in msg_vals[:M]]
+        sig_vals = val("signature", [0] * n_limbs)
+        signature = []
+        for i in range(n_limbs):
+            v = cs.alloc(sig_vals[i] if i < len(sig_vals) else 0)
+            cs.decompose_bits(v, CIRCOM_RS256_LIMB_BITS)
+            signature.append(v)
+        for v in pub_modulus:
+            cs.decompose_bits(v, CIRCOM_RS256_LIMB_BITS)
+        mpb = cs.alloc(val("message_padded_bytes"))
+        period_idx = cs.alloc(val("period_idx"))
+
+        # ---- SHA-256 + RSA-65537 (jwt.circom JWTVerify) ----
+        nb = cs.alloc(cs.value(mpb) // 64)
+        cs.assert_equal(LC.of(nb, 64), LC.of(mpb))
+        digest_bytes = sha256_var_gadget(cs, message, nb)
+        expected = jc.digest_bytes_to_pkcs1_limbs(
+            cs, digest_bytes, self.key_bits, CIRCOM_RS256_LIMB_BITS
+        )
+        n_int = 0
+        for i, v in enumerate(modulus_vals[:n_limbs]):
+            n_int |= int(v) << (i * CIRCOM_RS256_LIMB_BITS)
+        rsa65537_verify_gadget(
+            cs, signature, pub_modulus, expected, max(n_int, 1),
+            limb_bits=CIRCOM_RS256_LIMB_BITS,
+        )
+
+        # ---- base64url decode + nesting levels ----
+        jwt_bytes = jc.jwt_b64_decode(cs, message, period_idx, J)
+        levels = jc.nesting_levels(cs, jwt_bytes)
+
+        # ---- per-claim blocks (prepare_setup.py:50-205) ----
+        for name, entry in claims:
+            typ = {"string": 0, "number": 1, "date": 0, "integer": 1}[entry["type"]]
+            l = cs.alloc(val(f"{name}_l"))
+            r = cs.alloc(val(f"{name}_r"))
+            tmpl = f'"{name}":'.encode()
+            value_l, value_r = jc.match_claim_name(cs, jwt_bytes, tmpl, l, r, levels)
+            mcbl = int(entry.get("max_claim_byte_len", 31))
+            if entry.get("reveal_digest", False):
+                digest = jc.hash_reveal_claim_value(
+                    cs, jwt_bytes, value_l, value_r, mcbl, typ == 1
+                )
+                cs.assert_equal(pub_digest[name], digest)
+            elif entry.get("reveal", False):
+                if entry.get("reveal_domain_only", False):
+                    v = jc.reveal_domain_only(cs, jwt_bytes, value_l, value_r, mcbl)
+                else:
+                    v = jc.reveal_claim_value(
+                        cs, jwt_bytes, value_l, value_r, mcbl, typ == 1
+                    )
+                cs.assert_equal(pub_value[name], v)
+            else:
+                jc.validate_claim_value(cs, jwt_bytes, value_l, value_r, typ)
+        return cs
+
+    def setup(self, config: dict):
+        cs = self._build(config, None)
+        return cs.to_r1cs(), cs.io_locations()
+
+    def synthesize(self, config: dict, prover_inputs: dict):
+        pi = dict(prover_inputs)
+        hashed = [
+            n for n, e in self._claims(config) if e.get("reveal_digest", False)
+        ]
+        for name in hashed:
+            if f"{name}_digest" not in pi and name in pi:
+                pre = json.dumps(pi[name], separators=(",", ":"))
+                digest = hashlib.sha256(pre.encode()).digest()
+                pi[f"{name}_digest"] = bits_to_num(digest[:31])
+        cs = self._build(config, pi)
+        assert cs.is_satisfied(), "JWT circuit unsatisfied"
         return cs.to_r1cs(), cs.assignment(), cs.io_locations()

@@ -171,14 +171,13 @@ class DeviceProof:
             rng=rng,
         )
 
-        # pi2: Spartan ECDSA-PoP (round-2; raises NotImplementedError)
-        Rpt, _T, _U = ecdsa_pop.compute_RTU(sig.r, sig.s, sig.digest, pubkey_x, pubkey_y)
-        pi2 = ecdsa_pop.ECDSAProof.prove(
+        # pi2: Spartan ECDSA-PoP NIZK over T-256
+        r_x, r_y, pi2 = ecdsa_pop.ECDSAProof.prove(
             ecdsa_pop.ECDSAParams(), pubkey_x, pubkey_y, sig.r, sig.s,
             sig.digest, h_q, m, e1_bytes, e2_bytes, comz.m,
         )
         return DeviceProof(
-            Rpt[0], Rpt[1], sig.digest, com1.c, comz.c, h_q, m, pi0, pi1, pi2
+            r_x, r_y, sig.digest, com1.c, comz.c, h_q, m, pi0, pi1, pi2
         )
 
     @staticmethod

@@ -48,7 +48,7 @@ G2 = BN254G2
 
 @dataclass
 class R1CS:
-    """Rank-1 constraint system over BN254 Fr.
+    """Rank-1 constraint system over a prime field (default BN254 Fr).
 
     Variables are indexed [1, instance..., witness...]; index 0 is the
     constant one.  `num_instance` counts the constant, matching arkworks'
@@ -59,17 +59,19 @@ class R1CS:
     num_instance: int
     num_witness: int
     constraints: list
+    field: int = R
 
     @property
     def num_vars(self) -> int:
         return self.num_instance + self.num_witness
 
     def is_satisfied(self, z: list[int]) -> bool:
+        F = self.field
         for a_row, b_row, c_row in self.constraints:
-            a = sum(c * z[i] for i, c in a_row) % R
-            b = sum(c * z[i] for i, c in b_row) % R
-            c = sum(co * z[i] for i, co in c_row) % R
-            if a * b % R != c:
+            a = sum(c * z[i] for i, c in a_row) % F
+            b = sum(c * z[i] for i, c in b_row) % F
+            c = sum(co * z[i] for i, co in c_row) % F
+            if a * b % F != c:
                 return False
         return True
 

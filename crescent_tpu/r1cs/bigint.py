@@ -21,34 +21,40 @@ from .builder import LC, ConstraintSystem, Var
 LIMB = 120
 
 
-def int_to_limbs(x: int, n_limbs: int) -> list[int]:
-    mask = (1 << LIMB) - 1
-    return [(x >> (LIMB * i)) & mask for i in range(n_limbs)]
+def int_to_limbs(x: int, n_limbs: int, limb_bits: int = LIMB) -> list[int]:
+    mask = (1 << limb_bits) - 1
+    return [(x >> (limb_bits * i)) & mask for i in range(n_limbs)]
 
 
-def limbs_to_int_vals(cs: ConstraintSystem, limbs: list) -> int:
-    return sum(cs.value(l) << (LIMB * i) for i, l in enumerate(limbs))
+def limbs_to_int_vals(cs: ConstraintSystem, limbs: list, limb_bits: int = LIMB) -> int:
+    return sum(cs.value(l) << (limb_bits * i) for i, l in enumerate(limbs))
 
 
-def alloc_bigint(cs: ConstraintSystem, value: int, n_limbs: int, range_check: bool = True) -> list:
+def alloc_bigint(
+    cs: ConstraintSystem, value: int, n_limbs: int, range_check: bool = True,
+    limb_bits: int = LIMB,
+) -> list:
     out = []
-    for v in int_to_limbs(value, n_limbs):
+    for v in int_to_limbs(value, n_limbs, limb_bits):
         var = cs.alloc(v)
         if range_check:
-            cs.decompose_bits(var, LIMB)
+            cs.decompose_bits(var, limb_bits)
         out.append(var)
-    assert value < (1 << (LIMB * n_limbs))
+    assert value < (1 << (limb_bits * n_limbs))
     return out
 
 
-def mul_mod_gadget(cs: ConstraintSystem, a: list, b: list, n: list, n_int: int) -> list:
+def mul_mod_gadget(
+    cs: ConstraintSystem, a: list, b: list, n: list, n_int: int,
+    limb_bits: int = LIMB,
+) -> list:
     """r = a*b mod n with witness quotient; all operands n_limbs long."""
     k = len(a)
-    a_int = limbs_to_int_vals(cs, a)
-    b_int = limbs_to_int_vals(cs, b)
+    a_int = limbs_to_int_vals(cs, a, limb_bits)
+    b_int = limbs_to_int_vals(cs, b, limb_bits)
     q_int, r_int = divmod(a_int * b_int, n_int)
-    q = alloc_bigint(cs, q_int, k)
-    r = alloc_bigint(cs, r_int, k)
+    q = alloc_bigint(cs, q_int, k, limb_bits=limb_bits)
+    r = alloc_bigint(cs, r_int, k, limb_bits=limb_bits)
 
     # cross-product limbs (one mult constraint each)
     prod = [LC() for _ in range(2 * k - 1)]
@@ -67,10 +73,10 @@ def mul_mod_gadget(cs: ConstraintSystem, a: list, b: list, n: list, n_int: int) 
     # carry chain: (prod_k - rhs_k + carry_in) == carry_out * 2^120,
     # with carry_out range-limited.  Bound: |sum of k products of 120-bit
     # limbs| < k * 2^240; carries stay below ~2^(121 + log2(k)).
-    carry_bits = LIMB + 2 + (k - 1).bit_length()
+    carry_bits = limb_bits + 2 + (k - 1).bit_length()
     carry_lc = LC.of(0)
     carry_val = 0
-    shift = 1 << LIMB
+    shift = 1 << limb_bits
     offset = 1 << (carry_bits - 1)  # carries can be negative; bias them
     for idx in range(2 * k - 1):
         diff_val = cs.value(prod[idx]) - cs.value(rhs[idx]) + carry_val
@@ -93,16 +99,18 @@ def mul_mod_gadget(cs: ConstraintSystem, a: list, b: list, n: list, n_int: int) 
 
 
 def rsa65537_verify_gadget(
-    cs: ConstraintSystem, sig: list, modulus: list, expected: list, n_int: int
+    cs: ConstraintSystem, sig: list, modulus: list, expected: list, n_int: int,
+    limb_bits: int = LIMB,
 ) -> None:
-    """Constrain sig^65537 mod n == expected (all 120-bit limb vectors).
+    """Constrain sig^65537 mod n == expected (limb vectors, default 120-bit;
+    the JWT circuit passes 121 to match circom's CIRCOM_RS256_LIMB_BITS).
 
     16 modular squarings + 1 modular multiply (65537 = 2^16 + 1), then
     limb-wise equality with `expected` (the PKCS#1 v1.5 encoded digest)."""
     acc = sig
     for _ in range(16):
-        acc = mul_mod_gadget(cs, acc, acc, modulus, n_int)
-    acc = mul_mod_gadget(cs, acc, sig, modulus, n_int)
+        acc = mul_mod_gadget(cs, acc, acc, modulus, n_int, limb_bits=limb_bits)
+    acc = mul_mod_gadget(cs, acc, sig, modulus, n_int, limb_bits=limb_bits)
     for x, e in zip(acc, expected):
         cs.assert_equal(x, e)
 

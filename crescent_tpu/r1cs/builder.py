@@ -17,7 +17,7 @@ from dataclasses import dataclass, field
 
 from ..core.fields import BN254_FR
 
-R = BN254_FR
+R = BN254_FR  # default field (circom circuits); ConstraintSystem(field=...) overrides
 
 
 @dataclass(frozen=True)
@@ -38,15 +38,15 @@ class LC:
         if isinstance(v, LC):
             return v if coeff == 1 else v.scale(coeff)
         if isinstance(v, Var):
-            return LC({v.idx: coeff % R})
-        return LC({0: (v * coeff) % R})  # constant
+            return LC({v.idx: coeff})
+        return LC({0: v * coeff})  # constant
 
     def __add__(self, o):
         if not isinstance(o, LC):
             o = LC.of(o)
         t = dict(self.terms)
         for k, c in o.terms.items():
-            t[k] = (t.get(k, 0) + c) % R
+            t[k] = t.get(k, 0) + c
         return LC(t)
 
     def __sub__(self, o):
@@ -54,20 +54,28 @@ class LC:
             o = LC.of(o)
         t = dict(self.terms)
         for k, c in o.terms.items():
-            t[k] = (t.get(k, 0) - c) % R
+            t[k] = t.get(k, 0) - c
         return LC(t)
 
     def scale(self, k: int) -> "LC":
-        return LC({i: c * k % R for i, c in self.terms.items()})
+        return LC({i: c * k for i, c in self.terms.items()})
 
-    def to_list(self) -> list:
-        return [(i, c) for i, c in sorted(self.terms.items()) if c]
+    def to_list(self, modulus: int = None) -> list:
+        if modulus is None:
+            modulus = R
+        out = []
+        for i, c in sorted(self.terms.items()):
+            c %= modulus
+            if c:
+                out.append((i, c))
+        return out
 
 
 class ConstraintSystem:
     """Builder + witness calculator in one pass."""
 
-    def __init__(self):
+    def __init__(self, field: int = R):
+        self.F = field
         self.values: list[int] = [1]
         self.constraints: list = []
         self.n_pub_out = 0
@@ -79,13 +87,13 @@ class ConstraintSystem:
     def alloc(self, value: int) -> Var:
         """Private witness wire."""
         self._frozen_publics = True
-        self.values.append(value % R)
+        self.values.append(value % self.F)
         return Var(len(self.values) - 1)
 
     def alloc_public(self, value: int, name: str | None = None, is_output: bool = True) -> Var:
         """Public IO wire; must be allocated before any private wire."""
         assert not self._frozen_publics, "allocate publics before privates"
-        self.values.append(value % R)
+        self.values.append(value % self.F)
         idx = len(self.values) - 1
         if is_output:
             self.n_pub_out += 1
@@ -97,20 +105,22 @@ class ConstraintSystem:
 
     # -- constraint emission -----------------------------------------------
     def enforce(self, a: LC, b: LC, c: LC):
-        self.constraints.append((a.to_list(), b.to_list(), c.to_list()))
+        self.constraints.append(
+            (a.to_list(self.F), b.to_list(self.F), c.to_list(self.F))
+        )
 
     def value(self, x) -> int:
         if isinstance(x, Var):
             return self.values[x.idx]
         if isinstance(x, LC):
-            return sum(self.values[i] * c for i, c in x.terms.items()) % R
-        return x % R
+            return sum(self.values[i] * c for i, c in x.terms.items()) % self.F
+        return x % self.F
 
     # -- gadget library -----------------------------------------------------
     def mul(self, a, b) -> Var:
         """out = a * b."""
         va, vb = self.value(a), self.value(b)
-        out = self.alloc(va * vb % R)
+        out = self.alloc(va * vb % self.F)
         self.enforce(LC.of(a), LC.of(b), LC.of(out))
         return out
 
@@ -173,7 +183,7 @@ class ConstraintSystem:
     def is_zero(self, x) -> Var:
         """1 if x == 0 else 0 (circomlib IsZero)."""
         vx = self.value(x)
-        inv = self.alloc(pow(vx, -1, R) if vx else 0)
+        inv = self.alloc(pow(vx, -1, self.F) if vx else 0)
         out = self.alloc(0 if vx else 1)
         # out = 1 - x*inv ; x*out = 0
         self.enforce(LC.of(x), LC.of(inv), LC.of(1) - LC.of(out))
@@ -192,6 +202,7 @@ class ConstraintSystem:
             num_instance=self.num_instance,
             num_witness=len(self.values) - self.num_instance,
             constraints=self.constraints,
+            field=self.F,
         )
 
     def assignment(self) -> list[int]:

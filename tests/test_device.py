@@ -66,11 +66,8 @@ def test_device_sigma_layer():
     digest = bytes(rng.randrange(256) for _ in range(32))
     sig = device.ECDSASig.from_bytes(digest, dev.sign(digest))
 
-    # full prove raises until the Spartan NIZK lands (round 2)
-    with pytest.raises(NotImplementedError):
-        device.DeviceProof.prove(com0, com1_orig, sig, *dev.public, rng=rng)
-
-    # but the sigma sub-protocols are real: drive them directly
+    # the full DeviceProof (sigma glue + Spartan ECDSA-PoP pi2) round-trips
+    # in tests/test_api_db.py; here drive the sigma sub-protocols directly
     z_val = rng.randrange(R)
     comz = pedersen_commit(z_val, com0.bases, rng=rng)
     com1 = pedersen_commit(com1_orig.m, com0.bases, rng=rng)
