@@ -6,7 +6,7 @@ replaces the reference's run_setup.sh:96-126 sample-credential generation
 (random issuer key + deterministic-structure JWT; for device-bound sets a
 P-256 device key pair, gen_mdl_device_key.sh equivalent).
 
-Parameter sets (README.md:38-44): rs256, rs256-sd, rs256-db (mdl1 pending).
+Parameter sets (README.md:38-44): rs256, rs256-sd, rs256-db, mdl1.
 
 Usage:
   python -m crescent_tpu.cli gen-fixtures --name rs256
@@ -68,6 +68,31 @@ DEFAULT_PROOF_SPECS = {
     "rs256": '{"revealed": ["email"]}',
     "rs256-sd": '{"revealed": ["family_name"]}',
     "rs256-db": '{"revealed": ["email"], "device_bound": true}',
+    "mdl1": json.dumps({
+        "revealed": ["resident_state", "height", "family_name", "given_name"],
+        "range_over_year": {"birth_date": 18},
+        "device_bound": True,
+        "presentation_message": [1, 2, 3, 4],
+    }),
+}
+
+MDL1_CONFIG = {
+    "credtype": "mdl",
+    "alg": "ES256",
+    "device_bound": True,
+    "max_cred_len": 1792,
+    "birth_date": {"type": "date", "reveal": True, "max_claim_byte_len": 31},
+    "resident_state": {"type": "string", "reveal": True, "max_claim_byte_len": 31},
+    "height": {"type": "integer", "reveal": True, "max_claim_byte_len": 31},
+    "family_name": {"type": "string", "reveal_digest": True, "max_claim_byte_len": 62},
+    "given_name": {"type": "string", "reveal_digest": True, "max_claim_byte_len": 62},
+}
+MDL1_ATTRIBUTES = {
+    "birth_date": "1990-05-17",
+    "resident_state": "WA",
+    "height": 170,
+    "family_name": "Example",
+    "given_name": "Alice",
 }
 
 
@@ -77,7 +102,18 @@ def _paths(args) -> api.CachePaths:
     return api.CachePaths(base)
 
 
-def _frontend(args):
+def _is_mdl(paths) -> bool:
+    try:
+        return json.load(open(paths.config)).get("credtype") == "mdl"
+    except FileNotFoundError:
+        return False
+
+
+def _frontend(args, paths=None):
+    if paths is not None and _is_mdl(paths):
+        from .credentials.mdl import MDLFrontend
+
+        return MDLFrontend()
     if getattr(args, "frontend", "real") == "stub":
         return StubJWTFrontend()
     return JWTFrontend()
@@ -95,6 +131,8 @@ def cmd_gen_fixtures(args):
     from .utils import jwt as jwtutil
 
     paths = _paths(args)
+    if args.name == "mdl1":
+        return _gen_mdl_fixtures(paths, args)
     default_cfg = DEFAULT_CONFIGS.get(args.name, DEFAULT_CONFIGS["rs256"])
     if not os.path.exists(paths.config):
         with open(paths.config, "w") as f:
@@ -135,16 +173,57 @@ def cmd_gen_fixtures(args):
     return 0
 
 
+def _gen_mdl_fixtures(paths, args):
+    """mdl-gen + gen_mdl_device_key.sh equivalent: ES256 issuer key, P-256
+    device key, attribute inputs as prover_inputs.json / prover_aux.json
+    (the reference's mdl prove path reads these, SURVEY.md §3.2)."""
+    from .credentials.device import TestDevice
+    from .credentials.mdl import (
+        generate_es256_issuer_keypair, prepare_mdl_prover_inputs,
+    )
+    from .credentials.prep_inputs import parse_config
+
+    if not os.path.exists(paths.config):
+        with open(paths.config, "w") as f:
+            json.dump(MDL1_CONFIG, f, indent=2)
+    priv, pub = generate_es256_issuer_keypair()
+    with open(paths.issuer_pem, "w") as f:
+        f.write(pub)
+    with open(paths.base + "issuer.prv", "w") as f:
+        f.write(priv)
+    dev = TestDevice()
+    with open(paths.base + "device.prv", "w") as f:
+        f.write(str(dev.secret))
+    with open(paths.device_pub_pem, "w") as f:
+        f.write(dev.public_pem())
+    config = parse_config(open(paths.config).read())
+    pi, aux = prepare_mdl_prover_inputs(
+        config, MDL1_ATTRIBUTES, valid_until="2033-01-01",
+        issuer_pem=pub, device_pub_pem=dev.public_pem(),
+    )
+    with open(paths.mdl_prover_inputs, "w") as f:
+        json.dump(pi, f, indent=2)
+    with open(paths.mdl_prover_aux, "w") as f:
+        json.dump(aux, f, indent=2)
+    if not os.path.exists(paths.proof_spec):
+        with open(paths.proof_spec, "w") as f:
+            f.write(DEFAULT_PROOF_SPECS["mdl1"])
+    print(f"mdl fixtures written under {paths.base}")
+    return 0
+
+
 def cmd_zksetup(args):
     paths = _paths(args)
     t0 = time.time()
-    api.run_zksetup(paths.base, _frontend(args))
+    api.run_zksetup(paths.base, _frontend(args, paths))
     print(f"zksetup completed in {time.time()-t0:.1f}s; artifacts in {paths.cache}")
     return 0
 
 
 def cmd_prove(args):
     paths = _paths(args)
+    if _is_mdl(paths):
+        return _cmd_prove_mdl(args, paths)
     with open(paths.config) as f:
         config = parse_config(f.read())
     with open(paths.jwt) as f:
@@ -160,6 +239,21 @@ def cmd_prove(args):
     )
     cs = api.create_client_state(
         paths, prover_inputs, _frontend(args), prover_aux=json.dumps(prover_aux)
+    )
+    api.write_to_file(cs, paths.client_state)
+    print(f"Proving time: {time.time()-t0:.1f}s; client state written to {paths.client_state}")
+    return 0
+
+
+def _cmd_prove_mdl(args, paths):
+    """mDL prove: reads prover_inputs.json / prover_aux.json (main.rs mdl
+    path; the CBOR mdoc parser feeding these is mdl-tools territory)."""
+    pi = json.load(open(paths.mdl_prover_inputs))
+    aux = json.load(open(paths.mdl_prover_aux))
+    t0 = time.time()
+    cs = api.create_client_state(
+        paths, pi, _frontend(args, paths), prover_aux=json.dumps(aux),
+        credtype="mdl",
     )
     api.write_to_file(cs, paths.client_state)
     print(f"Proving time: {time.time()-t0:.1f}s; client state written to {paths.client_state}")
@@ -192,9 +286,16 @@ def cmd_show(args):
         dev = _load_device(paths)
         device_signature = dev.sign(spec.presentation_message)
     t0 = time.time()
-    sp = api.create_show_proof(
-        client_state, range_pk, io_locations, spec, device_signature=device_signature
-    )
+    if _is_mdl(paths):
+        sp = api.create_show_proof_mdl(
+            client_state, range_pk, spec, io_locations,
+            device_signature=device_signature,
+        )
+    else:
+        sp = api.create_show_proof(
+            client_state, range_pk, io_locations, spec,
+            device_signature=device_signature,
+        )
     api.write_to_file(sp, paths.show_proof)
     with open(paths.proof_spec + ".resolved", "w") as f:
         f.write(spec.to_json())
@@ -219,7 +320,10 @@ def cmd_verify(args):
     else:
         spec = _load_proof_spec(paths, None)
     t0 = time.time()
-    ok, revealed = api.verify_show(vp, show_proof, spec)
+    if _is_mdl(paths):
+        ok, revealed = api.verify_show_mdl(vp, show_proof, spec)
+    else:
+        ok, revealed = api.verify_show(vp, show_proof, spec)
     print(f"Verification time: {time.time()-t0:.2f}s")
     print(f"verify: {'PASS' if ok else 'FAIL'}")
     if ok:

@@ -1033,15 +1033,41 @@ def poly_commit(
     poly: DenseMlPoly, gens: PolyCommitmentGens, tape: RandomTape | None
 ) -> tuple[PolyCommitment, list[int]]:
     """DensePolynomial::commit: matrix rows committed separately
-    (dense_mlpoly.rs:181-206)."""
+    (dense_mlpoly.rs:181-206).
+
+    Hot path of NIZK::prove — all L_size row-MSMs run as ONE batched device
+    program (vmap over the problem axis) instead of L_size dispatches."""
     ell = poly.num_vars
     left, right = factored_lens(ell)
     L_size, R_size = 1 << left, 1 << right
     blinds = tape.vector(b"poly_blinds", L_size) if tape is not None else [0] * L_size
-    C = [
-        _comp(commitv(poly.evals[R_size * i : R_size * (i + 1)], blinds[i], gens.gens.gens_n))
-        for i in range(L_size)
-    ]
+    gn = gens.gens.gens_n
+    if L_size >= 8 and R_size >= 32:
+        from ..ops.ec import JPoints, get_curve_ctx
+        from ..ops.msm import get_msm
+        import jax
+        import jax.numpy as jnp
+        from ..ops import limb
+
+        m = get_msm(T256)
+        ctx = get_curve_ctx(T256)
+        P = ctx.points_to_device(gn.G[:R_size] + [gn.h])
+        valid = jnp.ones(R_size + 1, dtype=jnp.uint32)
+        problems = []
+        for i in range(L_size):
+            sc = jnp.asarray(limb.ints_to_limbs(
+                [v % Q for v in poly.evals[R_size * i : R_size * (i + 1)]]
+                + [blinds[i] % Q]
+            ))
+            problems.append((P.x, P.y, valid, sc))
+        res = m.run_device_many(problems)
+        pts = ctx.points_to_host(res)
+        C = [_comp(p) for p in pts]
+    else:
+        C = [
+            _comp(commitv(poly.evals[R_size * i : R_size * (i + 1)], blinds[i], gn))
+            for i in range(L_size)
+        ]
     return PolyCommitment(C), blinds
 
 
