@@ -62,12 +62,39 @@ def scalar_digits(scalars: jax.Array, c: int) -> jax.Array:
     return jnp.sum(bits * weights, axis=-1)
 
 
-def _accumulate_buckets(ctx: CurveCtx, px, py, pvalid, digits, c: int, lanes: int) -> JPoints:
+def scalar_digits_signed(scalars: jax.Array, c: int) -> tuple[jax.Array, jax.Array]:
+    """(N, 16) limbs -> signed-digit recoding: (|digit| (N, W+1), sign (N, W+1)).
+
+    Windows are remapped to the balanced range [-(2^(c-1)-1), 2^(c-1)] via a
+    carry chain, so only 2^(c-1)+1 buckets are needed (halving phase-2/3 work;
+    PERF.md item 3) and negative digits add the negated point (-Y is one
+    sub_mod).  One extra window absorbs the final carry for full-width
+    scalars.  sign is 0/1 (1 => subtract)."""
+    half = 1 << (c - 1)
+    full = 1 << c
+    d = scalar_digits(scalars, c)                     # (N, W) unsigned
+    W = d.shape[1]
+    digs, signs = [], []
+    carry = jnp.zeros(d.shape[0], dtype=U32)
+    for w in range(W):
+        e = d[:, w] + carry                           # <= 2^c
+        neg = (e > half).astype(U32)
+        digs.append(jnp.where(neg, full - e, e))
+        signs.append(neg)
+        carry = neg
+    digs.append(carry)                                # top carry window
+    signs.append(jnp.zeros_like(carry))
+    return jnp.stack(digs, axis=-1), jnp.stack(signs, axis=-1)
+
+
+def _accumulate_buckets(ctx: CurveCtx, px, py, pvalid, digits, signs, c: int, lanes: int) -> JPoints:
     """Pippenger phases 1-2: accumulate points into per-window buckets and
-    fold lanes.  Returns a (W, B) JPoints bucket set."""
+    fold lanes.  digits/signs from `scalar_digits_signed` (balanced
+    recoding => B = 2^(c-1)+1 buckets).  Returns a (W, B) JPoints bucket
+    set whose bucket b holds the sum of points with |digit| == b."""
     N = px.shape[0]
     W = digits.shape[1]
-    B = 1 << c
+    B = (1 << (c - 1)) + 1
     L = min(lanes, N)
     steps = (N + L - 1) // L
     Npad = steps * L
@@ -79,6 +106,7 @@ def _accumulate_buckets(ctx: CurveCtx, px, py, pvalid, digits, c: int, lanes: in
     py = padpts(py, 0)
     pvalid = padpts(pvalid, 0)
     digits = padpts(digits, 0)
+    signs = padpts(signs, 0)
 
     # reshape to (steps, L, *elem)
     es = ctx.fctx.elem_shape
@@ -86,6 +114,7 @@ def _accumulate_buckets(ctx: CurveCtx, px, py, pvalid, digits, c: int, lanes: in
     py = py.reshape((steps, L) + es)
     pvalid = pvalid.reshape(steps, L)
     digits = digits.reshape(steps, L, W)
+    signs = signs.reshape(steps, L, W)
 
     # lane-local buckets: (L, W, B) points
     buckets = ctx.identity((L, W, B))
@@ -94,14 +123,19 @@ def _accumulate_buckets(ctx: CurveCtx, px, py, pvalid, digits, c: int, lanes: in
     win_idx = jnp.broadcast_to(jnp.arange(W)[None, :], (L, W))
 
     def step(buckets, inp):
-        sx, sy, sval, sdig = inp           # (L,16),(L,16),(L,),(L,W)
+        sx, sy, sval, sdig, ssgn = inp     # (L,16),(L,16),(L,),(L,W),(L,W)
         cur = JPoints(
             buckets.x[lane_idx, win_idx, sdig],
             buckets.y[lane_idx, win_idx, sdig],
             buckets.z[lane_idx, win_idx, sdig],
         )                                   # (L, W, 16)
+        syn = ctx.fctx.neg_mod(sy)          # one negate per point, all windows share
         qx = jnp.broadcast_to(jnp.expand_dims(sx, 1), (L, W) + es)
-        qy = jnp.broadcast_to(jnp.expand_dims(sy, 1), (L, W) + es)
+        qy = ctx.fctx.select(
+            ssgn,
+            jnp.broadcast_to(jnp.expand_dims(syn, 1), (L, W) + es),
+            jnp.broadcast_to(jnp.expand_dims(sy, 1), (L, W) + es),
+        )
         # skip digit-0 (bucket 0 unused) and invalid (padded/infinity) points
         valid = (sdig != 0) & (sval[:, None] != 0)
         new = ctx.add_mixed(cur, qx, qy, valid.astype(U32))
@@ -112,7 +146,7 @@ def _accumulate_buckets(ctx: CurveCtx, px, py, pvalid, digits, c: int, lanes: in
         )
         return buckets, None
 
-    buckets, _ = jax.lax.scan(step, buckets, (px, py, pvalid, digits))
+    buckets, _ = jax.lax.scan(step, buckets, (px, py, pvalid, digits, signs))
 
     # Phase 2: fold lanes into one (W, B) bucket set.  A lax.scan (L steps of
     # one batched add) keeps the compiled graph at a single add body; the
@@ -157,9 +191,9 @@ def _aggregate_buckets(ctx: CurveCtx, wb: JPoints, c: int) -> JPoints:
     return res
 
 
-def _msm_impl(ctx: CurveCtx, px, py, pvalid, digits, c: int, lanes: int) -> JPoints:
-    """Core Pippenger given precomputed digits. All args device arrays."""
-    wb = _accumulate_buckets(ctx, px, py, pvalid, digits, c, lanes)
+def _msm_impl(ctx: CurveCtx, px, py, pvalid, digits, signs, c: int, lanes: int) -> JPoints:
+    """Core Pippenger given precomputed signed digits. All args device arrays."""
+    wb = _accumulate_buckets(ctx, px, py, pvalid, digits, signs, c, lanes)
     return _aggregate_buckets(ctx, wb, c)
 
 
@@ -230,8 +264,8 @@ class MSM:
         px, py, pvalid, scalars = self._pad_to(npad, px, py, pvalid, scalars)
         if npad <= self.small_cutoff:
             return self._small(px, py, pvalid, scalars)
-        digits = scalar_digits(scalars, self.c)
-        return self._get_impl(self._lanes_for(npad), many=False)(px, py, pvalid, digits)
+        digits, signs = scalar_digits_signed(scalars, self.c)
+        return self._get_impl(self._lanes_for(npad), many=False)(px, py, pvalid, digits, signs)
 
     def run_device_many(self, problems) -> JPoints:
         """Batch of independent MSMs in ONE compiled program (vmap over the
@@ -245,10 +279,10 @@ class MSM:
         if npad <= self.small_cutoff:
             return self._small_many(*stack)
         pxs, pys, vals, scs = stack
-        digs = scalar_digits(
-            scs.reshape((-1,) + scs.shape[2:]), self.c
-        ).reshape(scs.shape[0], npad, -1)
-        return self._get_impl(self._lanes_for(npad), many=True)(pxs, pys, vals, digs)
+        digs, sgns = scalar_digits_signed(scs.reshape((-1,) + scs.shape[2:]), self.c)
+        digs = digs.reshape(scs.shape[0], npad, -1)
+        sgns = sgns.reshape(scs.shape[0], npad, -1)
+        return self._get_impl(self._lanes_for(npad), many=True)(pxs, pys, vals, digs, sgns)
 
     # -- host convenience ---------------------------------------------------
     def run_host(self, scalars: list[int], points: list):

@@ -28,7 +28,7 @@ from jax import shard_map
 
 from ..ops import limb
 from ..ops.ec import CurveCtx, JPoints
-from ..ops.msm import _accumulate_buckets, _aggregate_buckets, scalar_digits
+from ..ops.msm import _accumulate_buckets, _aggregate_buckets, scalar_digits_signed
 from ..ops.limb import U32
 
 
@@ -45,8 +45,8 @@ def sharded_msm_fn(ctx: CurveCtx, mesh: Mesh, c: int = 8, lanes: int = 64, axis:
     """Returns a jitted fn(px, py, pvalid, digits) -> JPoints computing the
     full MSM with points sharded over `axis` of `mesh`."""
 
-    def local(px, py, pvalid, digits):
-        wb = _accumulate_buckets(ctx, px, py, pvalid, digits, c, lanes)
+    def local(px, py, pvalid, digits, signs):
+        wb = _accumulate_buckets(ctx, px, py, pvalid, digits, signs, c, lanes)
         # combine bucket sets from all devices (ring of point-adds)
         allb = jax.lax.all_gather(wb, axis)          # (D, W, B) JPoints
 
@@ -62,7 +62,7 @@ def sharded_msm_fn(ctx: CurveCtx, mesh: Mesh, c: int = 8, lanes: int = 64, axis:
     f = shard_map(
         local,
         mesh=mesh,
-        in_specs=(pt_spec, pt_spec, P(axis), P(axis, None)),
+        in_specs=(pt_spec, pt_spec, P(axis), P(axis, None), P(axis, None)),
         out_specs=JPoints(
             P(*([None] * (len(es)))), P(*([None] * (len(es)))), P(*([None] * (len(es))))
         ),
@@ -97,8 +97,8 @@ class ShardedMSM:
         Pts = self.ctx.points_to_device(points)
         valid = jnp.asarray([0 if p is None else 1 for p in points], dtype=U32)
         sc = jnp.asarray(limb.ints_to_limbs([s % self.ctx.n for s in scalars]))
-        digits = scalar_digits(sc, self.c)
-        res = self._fn(Pts.x, Pts.y, valid, digits)
+        digits, signs = scalar_digits_signed(sc, self.c)
+        res = self._fn(Pts.x, Pts.y, valid, digits, signs)
         return self.ctx.points_to_host(
             JPoints(res.x[None], res.y[None], res.z[None])
         )[0]
