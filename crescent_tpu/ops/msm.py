@@ -33,6 +33,29 @@ from ..core.curves import Curve
 from . import limb
 from .ec import CurveCtx, JPoints, get_curve_ctx
 from .limb import LIMB_BITS, NLIMB, U32
+from .pallas_ec import get_pallas_ec
+
+# Tri-state override for the fused limb-major Pallas accumulate path:
+# None = auto (TPU backend + prime field only, unless CRESCENT_MSM_PALLAS=0),
+# True/False = force.
+USE_PALLAS: bool | None = None
+
+
+def _pallas_for(ctx: CurveCtx):
+    """PallasEC instance if the fused path applies to this curve, else None."""
+    import os
+
+    if not hasattr(ctx.fctx, "modulus"):  # QuadCtx (G2/Fq2): XLA path
+        return None
+    enabled = USE_PALLAS
+    if enabled is None:
+        enabled = (
+            jax.default_backend() == "tpu"
+            and os.environ.get("CRESCENT_MSM_PALLAS", "1") != "0"
+        )
+    if not enabled:
+        return None
+    return get_pallas_ec(ctx.fctx.modulus, ctx.a_host % ctx.fctx.modulus)
 
 
 def scalar_digits(scalars: jax.Array, c: int) -> jax.Array:
@@ -191,9 +214,75 @@ def _aggregate_buckets(ctx: CurveCtx, wb: JPoints, c: int) -> JPoints:
     return res
 
 
+def _accumulate_buckets_pallas(
+    ctx: CurveCtx, pec, px, py, pvalid, digits, signs, c: int, lanes: int
+) -> JPoints:
+    """Pippenger phases 1-2 with the fused limb-major Pallas point kernels
+    (PERF.md item 1).  Buckets live limb-major (16, L, W, B) the whole time:
+    the digit gather yields contiguous (16, L, W) planes that reshape for
+    free into the kernel's (16, n) layout — no per-step transposes — and the
+    per-step case analysis + ~26 Montgomery muls run in one VMEM-resident
+    kernel instead of ~60 HBM-materialized XLA intermediates."""
+    N = px.shape[0]
+    W = digits.shape[1]
+    B = (1 << (c - 1)) + 1
+    L = min(lanes, N)
+    steps = (N + L - 1) // L
+    Npad = steps * L
+
+    def padpts(a):
+        return jnp.pad(a, [(0, Npad - N)] + [(0, 0)] * (a.ndim - 1))
+
+    # points limb-major once: (steps, 16, L)
+    px = padpts(px).reshape(steps, L, NLIMB).transpose(0, 2, 1)
+    py = padpts(py).reshape(steps, L, NLIMB).transpose(0, 2, 1)
+    pvalid = padpts(pvalid).reshape(steps, L)
+    digits = padpts(digits).reshape(steps, L, W)
+    signs = padpts(signs).reshape(steps, L, W)
+
+    ident = ctx.identity((L, W, B))
+    buckets = tuple(a.transpose(3, 0, 1, 2) for a in ident)  # (16, L, W, B) x3
+
+    li = jnp.broadcast_to(jnp.arange(L)[:, None], (L, W))
+    wi = jnp.broadcast_to(jnp.arange(W)[None, :], (L, W))
+
+    def step(buckets, inp):
+        bx, by, bz = buckets
+        sx, sy, sval, sdig, ssgn = inp  # (16,L),(16,L),(L,),(L,W),(L,W)
+        cur = [a[:, li, wi, sdig].reshape(NLIMB, L * W) for a in (bx, by, bz)]
+        qx = jnp.broadcast_to(sx[:, :, None], (NLIMB, L, W)).reshape(NLIMB, L * W)
+        qy = jnp.broadcast_to(sy[:, :, None], (NLIMB, L, W)).reshape(NLIMB, L * W)
+        valid = ((sdig != 0) & (sval[:, None] != 0)).reshape(L * W)
+        nx, ny, nz = pec.madd(*cur, qx, qy, valid, ssgn.reshape(L * W))
+        out = []
+        for b, v in ((bx, nx), (by, ny), (bz, nz)):
+            out.append(b.at[:, li, wi, sdig].set(v.reshape(NLIMB, L, W)))
+        return tuple(out), None
+
+    buckets, _ = jax.lax.scan(step, buckets, (px, py, pvalid, digits, signs))
+
+    # Phase 2: fold lanes.  Scan over the lane axis with the fused jadd.
+    def fold(acc, lane):
+        lx, ly, lz = (a.reshape(NLIMB, W * B) for a in lane)
+        return tuple(pec.jadd(*acc, lx, ly, lz)), None
+
+    # identity planes: x=0, y=mont(1), z=0
+    id1 = ctx.identity((W * B,))
+    acc0 = (id1.x.T, id1.y.T, id1.z.T)
+    lanes_xs = tuple(a.transpose(1, 0, 2, 3) for a in buckets)  # (L, 16, W, B)
+    (fx, fy, fz), _ = jax.lax.scan(fold, acc0, lanes_xs)
+    return JPoints(
+        fx.T.reshape(W, B, NLIMB), fy.T.reshape(W, B, NLIMB), fz.T.reshape(W, B, NLIMB)
+    )
+
+
 def _msm_impl(ctx: CurveCtx, px, py, pvalid, digits, signs, c: int, lanes: int) -> JPoints:
     """Core Pippenger given precomputed signed digits. All args device arrays."""
-    wb = _accumulate_buckets(ctx, px, py, pvalid, digits, signs, c, lanes)
+    pec = _pallas_for(ctx)
+    if pec is not None:
+        wb = _accumulate_buckets_pallas(ctx, pec, px, py, pvalid, digits, signs, c, lanes)
+    else:
+        wb = _accumulate_buckets(ctx, px, py, pvalid, digits, signs, c, lanes)
     return _aggregate_buckets(ctx, wb, c)
 
 

@@ -79,18 +79,19 @@ def _carry(acc, out_len):
 def _mul_acc(x, y, out_len):
     """Schoolbook product planes: (16,B) x (16,B) -> (out_len,B) limbs < 2^21.
 
-    Always accumulates the full 2L width with uniform full-width updates
-    (partial-width .at[].add lowers to scatters whose index arrays Pallas
-    kernels cannot capture), then truncates — the hi half costs ~1/6 extra
-    on a low-only multiply, a fair trade for staying scatter-free."""
+    Each row-product is shifted into place with a static pad and summed —
+    pure vector adds (jnp .at[].add lowers to scatter-add, which Mosaic TPU
+    has no lowering for).  Accumulates the full 2L width (<= 32 terms of
+    < 2^16 each, no u32 overflow), then truncates."""
     B = x.shape[1]
-    lo = jnp.zeros((2 * L + 1, B), U32)
-    hi = jnp.zeros((2 * L + 1, B), U32)
+    width = 2 * L + 1
+    acc = jnp.zeros((width, B), U32)
     for i in range(L):
         p = x[i : i + 1] * y  # (L, B) exact u32 products
-        lo = lo.at[i : i + L].add(p & LIMB_MASK)
-        hi = hi.at[i + 1 : i + 1 + L].add(p >> LIMB_BITS)
-    return (lo + hi)[:out_len]
+        lo = jnp.pad(p & LIMB_MASK, ((i, width - L - i), (0, 0)))
+        hi = jnp.pad(p >> LIMB_BITS, ((i + 1, width - L - i - 1), (0, 0)))
+        acc = acc + lo + hi
+    return acc[:out_len]
 
 
 def _sub_raw(x, y):
@@ -326,17 +327,34 @@ class PallasEC:
         return cache[key]
 
     # -- public ops ---------------------------------------------------------
+    @staticmethod
+    def _pad(arrs, n, npad):
+        if npad == n:
+            return arrs
+        return [jnp.pad(a, ((0, 0), (0, npad - n))) for a in arrs]
+
     def madd(self, x1, y1, z1, qx, qy, valid, sign):
-        """(16,N) planes + flags (N,) -> (16,N) x3,y3,z3."""
+        """(16,N) planes + flags (N,) -> (16,N) x3,y3,z3.
+
+        N is padded internally to a multiple of the lane block; padded lanes
+        carry valid==0 (passthrough of zero planes), then sliced away."""
         n = x1.shape[1]
+        npad = -n % self.block + n
         flags = jnp.stack([valid.astype(U32), sign.astype(U32)], axis=0)
-        call = self._get_call(self._madd_call, self._madd_kernel, n, 5, flag_rows=2)
-        return call(self.consts, x1, y1, z1, qx, qy, flags)
+        x1, y1, z1, qx, qy, flags = self._pad([x1, y1, z1, qx, qy, flags], n, npad)
+        call = self._get_call(self._madd_call, self._madd_kernel, npad, 5, flag_rows=2)
+        ox, oy, oz = call(self.consts, x1, y1, z1, qx, qy, flags)
+        return ox[:, :n], oy[:, :n], oz[:, :n]
 
     def jadd(self, x1, y1, z1, x2, y2, z2):
+        """Complete Jacobian add on (16,N) planes (padded lanes are all-zero
+        = identity + identity, discarded on slice-back)."""
         n = x1.shape[1]
-        call = self._get_call(self._jadd_call, self._jadd_kernel, n, 6)
-        return call(self.consts, x1, y1, z1, x2, y2, z2)
+        npad = -n % self.block + n
+        ins = self._pad([x1, y1, z1, x2, y2, z2], n, npad)
+        call = self._get_call(self._jadd_call, self._jadd_kernel, npad, 6)
+        ox, oy, oz = call(self.consts, *ins)
+        return ox[:, :n], oy[:, :n], oz[:, :n]
 
 
 @functools.lru_cache(maxsize=None)

@@ -1,0 +1,149 @@
+"""Bit-exactness of the fused limb-major Pallas EC kernels (ops/pallas_ec.py)
+against the XLA batch-major oracle (ops/ec.py), which is itself validated
+against the host oracle.  Runs in interpret mode on CPU (conftest forces the
+CPU backend); the same kernel code lowers via Mosaic on TPU and is gated at
+bench time by bench.py's on-device-vs-host-oracle check.
+
+Covers the Pippenger hot-path cases: generic mixed add, P==Q (doubling
+fallback), P==-Q (identity result), P==inf, valid==0 passthrough, sign==1
+(subtract), and full Jacobian+Jacobian add with the same case zoo.
+
+Interpret-mode kernel compiles are ~1 min each, so only BN254 G1 runs by
+default; set CRESCENT_SLOW_TESTS=1 for P-256/T-256 and the multi-block grid
+(the kernel body is modulus-generic — only the (16,4) consts operand
+differs between curves).
+"""
+
+import os
+import random
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from crescent_tpu.core.curves import BN254_G1, P256, T256
+from crescent_tpu.ops import limb
+from crescent_tpu.ops.ec import JPoints, get_curve_ctx
+from crescent_tpu.ops.limb import U32
+from crescent_tpu.ops.pallas_ec import get_pallas_ec
+
+SLOW = os.environ.get("CRESCENT_SLOW_TESTS") == "1"
+CURVES = [BN254_G1] + ([P256, T256] if SLOW else [])
+
+
+def _gen(curve):
+    return (curve.gx, curve.gy)
+
+
+def _rand_points(curve, ctx, rng, n):
+    """n random affine points (host ints) via device scalar-mul of the gen."""
+    ks = [rng.randrange(1, ctx.n) for _ in range(n)]
+    P = ctx.points_to_device([_gen(curve)] * n)
+    sc = jnp.asarray(limb.ints_to_limbs(ks))
+    return ctx.points_to_host(JPoints(*ctx.scalar_mul(sc, P)))
+
+
+def _pec(ctx, block=8):
+    return get_pallas_ec(ctx.fctx.modulus, ctx.a_host % ctx.fctx.modulus, block=block)
+
+
+@pytest.mark.parametrize("curve", CURVES, ids=lambda c: c.name)
+def test_madd_matches_xla(curve):
+    rng = random.Random(1234)
+    ctx = get_curve_ctx(curve)
+    pec = _pec(ctx)
+
+    n = 8
+    P_host = _rand_points(curve, ctx, rng, n)
+    Q_host = _rand_points(curve, ctx, rng, n)
+    # case zoo: lane 0 generic; 1: P==Q; 2: P==-Q; 3: P==inf; 4: valid=0;
+    # 5: sign=1 (subtract); 6,7: generic
+    Q_host[1] = P_host[1]
+    Q_host[2] = (P_host[2][0], (-P_host[2][1]) % ctx.fctx.modulus)
+    P_host[3] = None
+    valid = np.ones(n, np.uint32)
+    valid[4] = 0
+    sign = np.zeros(n, np.uint32)
+    sign[5] = 1
+
+    P = ctx.points_to_device(P_host)
+    Q = ctx.points_to_device(Q_host)
+
+    # oracle: XLA path (negate qy where sign)
+    qy_eff = ctx.fctx.select(jnp.asarray(sign), ctx.fctx.neg_mod(Q.y), Q.y)
+    ref = ctx.add_mixed(P, Q.x, qy_eff, jnp.asarray(valid))
+
+    out = pec.madd(
+        P.x.T, P.y.T, P.z.T, Q.x.T, Q.y.T, jnp.asarray(valid), jnp.asarray(sign)
+    )
+    got = JPoints(out[0].T, out[1].T, out[2].T)
+    assert ctx.points_to_host(got) == ctx.points_to_host(ref)
+
+
+@pytest.mark.parametrize("curve", CURVES, ids=lambda c: c.name)
+def test_jadd_matches_xla(curve):
+    rng = random.Random(99)
+    ctx = get_curve_ctx(curve)
+    pec = _pec(ctx)
+
+    n = 8
+    P_host = _rand_points(curve, ctx, rng, n)
+    Q_host = _rand_points(curve, ctx, rng, n)
+    Q_host[1] = P_host[1]
+    Q_host[2] = (P_host[2][0], (-P_host[2][1]) % ctx.fctx.modulus)
+    P_host[3] = None
+    Q_host[4] = None
+    P_host[5] = None
+    Q_host[5] = None
+
+    P = ctx.points_to_device(P_host)
+    Q = ctx.points_to_device(Q_host)
+    ref = ctx.add(P, Q)
+
+    out = pec.jadd(P.x.T, P.y.T, P.z.T, Q.x.T, Q.y.T, Q.z.T)
+    got = JPoints(out[0].T, out[1].T, out[2].T)
+    assert ctx.points_to_host(got) == ctx.points_to_host(ref)
+
+
+@pytest.mark.skipif(not SLOW, reason="CRESCENT_SLOW_TESTS != 1")
+def test_multi_block_grid():
+    """Grid with >1 block: 30 lanes, block 8, exercising internal pad+slice."""
+    rng = random.Random(7)
+    ctx = get_curve_ctx(BN254_G1)
+    pec = _pec(ctx)
+    n = 30  # not a block multiple
+    P_host = _rand_points(BN254_G1, ctx, rng, n)
+    Q_host = _rand_points(BN254_G1, ctx, rng, n)
+    P = ctx.points_to_device(P_host)
+    Q = ctx.points_to_device(Q_host)
+    valid = jnp.ones(n, U32)
+    sign = jnp.zeros(n, U32)
+    ref = ctx.add_mixed(P, Q.x, Q.y, valid)
+    out = pec.madd(P.x.T, P.y.T, P.z.T, Q.x.T, Q.y.T, valid, sign)
+    got = JPoints(out[0].T, out[1].T, out[2].T)
+    assert ctx.points_to_host(got) == ctx.points_to_host(ref)
+
+
+@pytest.mark.skipif(not SLOW, reason="CRESCENT_SLOW_TESTS != 1")
+def test_msm_pallas_path_matches_host():
+    """End-to-end Pippenger with USE_PALLAS forced on (interpret mode):
+    the full accumulate/fold rewrite (buckets limb-major, digit gather,
+    scatter-back, lane fold) against the host oracle.  Small N to keep
+    interpret-mode cost bounded."""
+    from crescent_tpu.ops import msm as msm_mod
+
+    rng = random.Random(5)
+    ctx = get_curve_ctx(BN254_G1)
+    n = 64
+    pts = _rand_points(BN254_G1, ctx, rng, n)
+    ks = [rng.randrange(BN254_G1.n) for _ in range(n)]
+
+    old = msm_mod.USE_PALLAS
+    msm_mod.USE_PALLAS = True
+    try:
+        m = msm_mod.MSM(BN254_G1, c=8, lanes=4, small_cutoff=0)
+        got = m.run_host(ks, pts)
+    finally:
+        msm_mod.USE_PALLAS = old
+    want = BN254_G1.msm(ks, pts)
+    assert got == want
