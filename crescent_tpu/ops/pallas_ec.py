@@ -272,13 +272,16 @@ class PallasEC:
         self.block = block
         self.a_is_zero = a_host == 0
         R = 1 << (LIMB_BITS * NLIMB)
-        # consts operand: columns [N, -N^-1 mod R, R mod N (mont 1), a*R mod N]
-        self.consts = jnp.stack(
+        # consts operand: columns [N, -N^-1 mod R, R mod N (mont 1), a*R mod N].
+        # Built in numpy, NOT jnp: get_pallas_ec is lru-cached and may first
+        # fire inside a jit trace, where jnp ops return tracers that would be
+        # cached and leak into later traces (UnexpectedTracerError).
+        self.consts = np.stack(
             [
-                jnp.asarray(limb_mod.int_to_limbs(modulus)),
-                jnp.asarray(limb_mod.int_to_limbs((-pow(modulus, -1, R)) % R)),
-                jnp.asarray(limb_mod.int_to_limbs(R % modulus)),
-                jnp.asarray(limb_mod.int_to_limbs(a_host * R % modulus)),
+                np.asarray(limb_mod.int_to_limbs(modulus), dtype=np.uint32),
+                np.asarray(limb_mod.int_to_limbs((-pow(modulus, -1, R)) % R), dtype=np.uint32),
+                np.asarray(limb_mod.int_to_limbs(R % modulus), dtype=np.uint32),
+                np.asarray(limb_mod.int_to_limbs(a_host * R % modulus), dtype=np.uint32),
             ],
             axis=1,
         )  # (16, 4)
