@@ -111,9 +111,12 @@ def _is_mdl(paths) -> bool:
 
 def _frontend(args, paths=None):
     if paths is not None and _is_mdl(paths):
-        from .credentials.mdl import MDLFrontend
+        from .credentials.mdl import MDLFrontend, StubMDLFrontend
 
-        return MDLFrontend()
+        if getattr(args, "frontend", "real") == "stub":
+            return StubMDLFrontend()
+        with open(paths.issuer_pem) as f:
+            return MDLFrontend(issuer_pem=f.read())
     if getattr(args, "frontend", "real") == "stub":
         return StubJWTFrontend()
     return JWTFrontend()
@@ -200,6 +203,7 @@ def _gen_mdl_fixtures(paths, args):
     pi, aux = prepare_mdl_prover_inputs(
         config, MDL1_ATTRIBUTES, valid_until="2033-01-01",
         issuer_pem=pub, device_pub_pem=dev.public_pem(),
+        issuer_priv_pem=priv,  # real issuance: signed MSO + circuit inputs
     )
     with open(paths.mdl_prover_inputs, "w") as f:
         json.dump(pi, f, indent=2)
