@@ -24,7 +24,6 @@ from __future__ import annotations
 import hashlib
 import json
 import os
-import pickle
 import random
 import time
 from dataclasses import dataclass
@@ -43,6 +42,7 @@ from .prep_inputs import (
     unpack_int_to_string_unquoted,
 )
 from .structs import IOLocations, PublicIOType
+from ..utils.trace import timed
 
 RANGE_PROOF_INTERVAL_BITS = 32      # lib.rs:50
 SHOW_PROOF_VALIDITY_SECONDS = 300   # lib.rs:51
@@ -85,18 +85,44 @@ class CachePaths:
         self.device_prv_pem = base + "device.prv"
 
 
-# NOTE(serialization): artifacts are stored with pickle for now; the ark
-# CanonicalSerialize byte layouts live in utils/serialize.py and migrating
-# these files to them (for byte-exact reference interop) is tracked parity
-# work (SURVEY.md §7 hard part (a)).
 def write_to_file(obj, path: str):
+    """ark CanonicalSerialize uncompressed bytes, exactly the reference's
+    write_to_file (creds/src/utils.rs:140-152); layouts in utils/ark.py."""
+    from ..utils import ark
+
     with open(path, "wb") as f:
-        pickle.dump(obj, f)
+        f.write(ark.serialize(obj))
 
 
-def read_from_file(path: str):
+def read_from_file(path: str, typ=None):
+    """Typed read (utils.rs:178-188 read_from_file::<T>).  The reference
+    names the type at each call site; here the standard CachePaths artifact
+    filenames map to their types when `typ` is omitted."""
+    from ..utils import ark
+
+    if typ is None:
+        typ = _artifact_type(path)
     with open(path, "rb") as f:
-        return pickle.load(f)
+        return ark.deserialize(f.read(), typ)
+
+
+def _artifact_type(path: str):
+    from .groth16rand import ClientState
+    from .rangeproof import RangeProofPK, RangeProofVK
+
+    name = os.path.basename(path)
+    table = {
+        "range_pk.bin": RangeProofPK,
+        "range_vk.bin": RangeProofVK,
+        "groth16_vk.bin": groth16.VerifyingKey,
+        "groth16_pvk.bin": groth16.PreparedVerifyingKey,
+        "prover_params.bin": ProverParams,
+        "client_state.bin": ClientState,
+        "show_proof.bin": ShowProof,
+    }
+    if name not in table:
+        raise ValueError(f"read_from_file: pass `typ` for non-standard path {path}")
+    return table[name]
 
 
 # ---------------------------------------------------------------------------
@@ -189,11 +215,13 @@ def run_zksetup(base_path: str, frontend: CircuitFrontend, rng: random.Random | 
 
     config = parse_config(config_str)
 
-    r1cs, io_locations = frontend.setup(config)
+    with timed("zksetup::frontend.setup (circuit synthesis)"):
+        r1cs, io_locations = frontend.setup(config)
     with open(paths.io_locations, "w") as f:
         f.write(io_locations.to_str())
 
-    params = groth16.setup(r1cs, rng)
+    with timed("zksetup::groth16.setup (SRS)"):
+        params = groth16.setup(r1cs, rng)
     vk = params.vk
     pvk = vk.prepare()
     range_pk, range_vk = rp.setup(RANGE_PROOF_INTERVAL_BITS, rng)
@@ -219,7 +247,7 @@ def create_client_state(
     rng: random.Random | None = None,
 ) -> ClientState:
     rng = rng or random.SystemRandom()
-    pp: ProverParams = read_from_file(paths.prover_params)
+    pp: ProverParams = read_from_file(paths.prover_params, ProverParams)
     from .prep_inputs import parse_config
 
     config = parse_config(pp.config_str)
@@ -229,14 +257,18 @@ def create_client_state(
     if prover_aux:
         for k, v in json.loads(prover_aux).items():
             synth_inputs.setdefault(k, v)
-    r1cs, assignment, _io = frontend.synthesize(config, synth_inputs)
-    assert r1cs.is_satisfied(assignment), "witness does not satisfy the statement"
+    with timed("prove::frontend.synthesize (witness)"):
+        r1cs, assignment, _io = frontend.synthesize(config, synth_inputs)
+    with timed("prove::r1cs.is_satisfied"):
+        assert r1cs.is_satisfied(assignment), "witness does not satisfy the statement"
 
-    proof = groth16.prove(pp.groth16_params, r1cs, assignment, rng)
+    with timed("prove::groth16.prove"):
+        proof = groth16.prove(pp.groth16_params, r1cs, assignment, rng)
     inputs = assignment[1 : r1cs.num_instance]
 
     # sanity verify, as the reference does (lib.rs:286-291)
-    assert groth16.verify(pp.groth16_pvk, proof, inputs), "fresh proof failed to verify"
+    with timed("prove::sanity groth16.verify"):
+        assert groth16.verify(pp.groth16_pvk, proof, inputs), "fresh proof failed to verify"
 
     cs = ClientState(
         inputs=inputs,

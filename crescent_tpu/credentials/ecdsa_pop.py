@@ -33,7 +33,6 @@ Hot loops (sumcheck rounds, mlpoly commitments) live in models/spartan.py.
 from __future__ import annotations
 
 import zlib
-import pickle
 from dataclasses import dataclass
 
 from ..core.curves import P256
@@ -454,14 +453,6 @@ def builder_to_spartan(cs: ConstraintSystem):
 _ECDSA_TRANSCRIPT_LABEL = b"NIZK proof of ECDSA signature with committed public key"
 
 
-@dataclass
-class ECDSAProofData:
-    nizk: sp.NIZK
-    num_cons: int
-    num_vars: int
-    num_inputs: int
-
-
 class ECDSAProof:
     """Spartan NIZK for the ECDSA-PoP circuit (lib.rs:441-615)."""
 
@@ -485,8 +476,15 @@ class ECDSAProof:
         gens = sp.NIZKGens(inst.num_cons, inst.num_vars, inst.num_inputs)
         ts = Transcript(_ECDSA_TRANSCRIPT_LABEL)
         nizk = sp.NIZK.prove(inst, vars_, inputs, gens, ts)
-        proof = ECDSAProofData(nizk, inst.num_cons, inst.num_vars, inst.num_inputs)
-        blob = zlib.compress(pickle.dumps(proof))
+        # zlib + bincode-style bytes, the reference's proof wire format
+        # (ecdsa-pop/src/lib.rs:541-545) — models/spartan_ser.py
+        from ..models import spartan_ser
+
+        blob = zlib.compress(
+            spartan_ser.ecdsa_proof_to_bytes(
+                nizk, inst.num_cons, inst.num_vars, inst.num_inputs
+            )
+        )
         return R[0], R[1], blob
 
     @staticmethod
@@ -506,10 +504,14 @@ class ECDSAProof:
         cs = synthesize_ecdsa_circuit(T, U, hQi, m, e1i, e2i, None, None, None, None)
         inst, _dummy_vars, inputs = builder_to_spartan(cs)
         gens = sp.NIZKGens(inst.num_cons, inst.num_vars, inst.num_inputs)
+        from ..models import spartan_ser
+
         try:
-            proof: ECDSAProofData = pickle.loads(zlib.decompress(proof_blob))
+            nizk, _nc, _nv, _ni = spartan_ser.ecdsa_proof_from_bytes(
+                zlib.decompress(proof_blob)
+            )
             ts = Transcript(_ECDSA_TRANSCRIPT_LABEL)
-            proof.nizk.verify(inst, inputs, ts, gens)
+            nizk.verify(inst, inputs, ts, gens)
             return True
-        except (sp.SpartanError, AssertionError, zlib.error, pickle.UnpicklingError, EOFError):
+        except (sp.SpartanError, AssertionError, ValueError, zlib.error, EOFError):
             return False

@@ -22,10 +22,12 @@ tuples.  Device mirrors of the SRS tables are cached on first use.
 
 from __future__ import annotations
 
+import os
 import random
 from dataclasses import dataclass, field
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -37,9 +39,29 @@ from ..ops import limb, ntt
 from ..ops.ec import JPoints, get_curve_ctx, get_g2_ctx
 from ..ops.limb import U32
 from ..ops.msm import MSM, get_g2_msm, get_msm
+from ..native import backend as nb
+from ..utils.trace import timed
 
 G1 = BN254_G1
 G2 = BN254G2
+
+
+def _native_ok() -> bool:
+    """Host C++ backend enabled?  It is the fast path for SRS generation and
+    the sparse-matrix host half of prove (the reference runs these on CPU via
+    rayon/asm — forks/groth16/src/generator.rs, halo2curves asm)."""
+    return os.environ.get("CRESCENT_NATIVE", "1") == "1" and nb.available()
+
+
+def _native_msm_prove() -> bool:
+    """Use the native host MSM inside `prove` when JAX is running on CPU
+    (tests / no accelerator).  On TPU the device MSM kernels are the path."""
+    env = os.environ.get("CRESCENT_PROVE_MSM", "auto")
+    if env == "native":
+        return _native_ok()
+    if env == "device":
+        return False
+    return _native_ok() and jax.default_backend() == "cpu"
 
 
 # ---------------------------------------------------------------------------
@@ -218,11 +240,51 @@ def _batch_inv_host(xs: list[int]) -> list[int]:
     return out
 
 
+def _r1cs_coo(r1cs: R1CS):
+    """COO triples (rows, cols, coeffs_u64) per matrix A/B/C, cached on the
+    instance.  Shared by the QAP-at-tau evaluation (setup) and the Az/Bz/Cz
+    matvec (prove) — the reference's r1cs_to_qap.rs walks the same sparse
+    structure."""
+    coo = getattr(r1cs, "_coo_cache", None)
+    if coo is None:
+        F = r1cs.field
+        coo = []
+        for k in range(3):
+            rows, cols, coeffs = [], [], []
+            for j, cons in enumerate(r1cs.constraints):
+                for i, co in cons[k]:
+                    rows.append(j)
+                    cols.append(i)
+                    coeffs.append(co % F)
+            coo.append(
+                (
+                    np.asarray(rows, dtype=np.uint32),
+                    np.asarray(cols, dtype=np.uint32),
+                    nb.ints_to_u64(coeffs),
+                )
+            )
+        r1cs._coo_cache = coo
+    return coo
+
+
 def _qap_evals_at_t(r1cs: R1CS, dom: ntt.NTTDomain, t: int):
     """A_i(t), B_i(t), C_i(t) per variable, with libsnark-style identity rows
     for instance variables (forks/groth16/src/r1cs_to_qap.rs semantics)."""
-    L = _lagrange_coeffs_at(dom, t)
     nv = r1cs.num_vars
+    nc = len(r1cs.constraints)
+    if _native_ok():
+        zt = (pow(t, dom.n, R) - 1) % R
+        factor = zt * pow(dom.n, -1, R) % R
+        L = nb.lagrange_at(R, dom.w, t, factor, dom.n)
+        outs = []
+        for rows, cols, coeffs in _r1cs_coo(r1cs):
+            outs.append(nb.coo_matvec(R, cols, rows, coeffs, L, nv))
+        A, B, C = (nb.u64_to_ints(o) for o in outs)
+        L_tail = nb.u64_to_ints(L[nc : nc + r1cs.num_instance])
+        for i in range(r1cs.num_instance):
+            A[i] = (A[i] + L_tail[i]) % R
+        return A, B, C
+    L = _lagrange_coeffs_at(dom, t)
     A = [0] * nv
     B = [0] * nv
     C = [0] * nv
@@ -234,7 +296,6 @@ def _qap_evals_at_t(r1cs: R1CS, dom: ntt.NTTDomain, t: int):
             B[i] = (B[i] + co * lj) % R
         for i, co in cr:
             C[i] = (C[i] + co * lj) % R
-    nc = len(r1cs.constraints)
     for i in range(r1cs.num_instance):
         A[i] = (A[i] + L[nc + i]) % R
     return A, B, C
@@ -243,6 +304,16 @@ def _qap_evals_at_t(r1cs: R1CS, dom: ntt.NTTDomain, t: int):
 def _matvec_evals(r1cs: R1CS, z: list[int], dom: ntt.NTTDomain):
     """Domain evaluations a=Az, b=Bz, c=Cz (+ identity rows), host-exact."""
     n = dom.n
+    nc = len(r1cs.constraints)
+    if _native_ok():
+        zu = nb.ints_to_u64([x % R for x in z])
+        outs = []
+        for rows, cols, coeffs in _r1cs_coo(r1cs):
+            outs.append(nb.coo_matvec(R, rows, cols, coeffs, zu, n))
+        a, b, c = (nb.u64_to_ints(o) for o in outs)
+        for i in range(r1cs.num_instance):
+            a[nc + i] = z[i] % R
+        return a, b, c
     a = [0] * n
     b = [0] * n
     c = [0] * n
@@ -250,7 +321,6 @@ def _matvec_evals(r1cs: R1CS, z: list[int], dom: ntt.NTTDomain):
         a[j] = sum(co * z[i] for i, co in ar) % R
         b[j] = sum(co * z[i] for i, co in br) % R
         c[j] = sum(co * z[i] for i, co in cr) % R
-    nc = len(r1cs.constraints)
     for i in range(r1cs.num_instance):
         a[nc + i] = z[i]
     return a, b, c
@@ -261,9 +331,16 @@ def _matvec_evals(r1cs: R1CS, z: list[int], dom: ntt.NTTDomain):
 # ---------------------------------------------------------------------------
 
 def fixed_base_mul(base, scalars: list[int], g2: bool = False) -> list:
-    """[k*base for k in scalars] via one batched TPU double-and-add."""
+    """[k*base for k in scalars].  Native windowed fixed-base when the C++
+    backend is up (SRS generation is a host-side one-time cost, exactly as in
+    the reference generator.rs); batched TPU double-and-add otherwise."""
     if not scalars:
         return []
+    if _native_ok():
+        ks = [s % G2.n for s in scalars] if g2 else [s % G1.n for s in scalars]
+        if g2:
+            return nb.fixed_base_g2(base, ks)
+        return nb.fixed_base("bn254_g1", base, ks)
     ctx = get_g2_ctx() if g2 else get_curve_ctx(G1)
     P1 = ctx.points_to_device([base])
     n = len(scalars)
@@ -292,33 +369,40 @@ def setup(r1cs: R1CS, rng: random.Random) -> ProvingKey:
     alpha, beta, delta, t = (rng.randrange(1, R) for _ in range(4))
     gamma = 1
     dom = _domain_for(r1cs)
-    A, B, C = _qap_evals_at_t(r1cs, dom, t)
+    with timed("Groth16::setup qap_evals_at_t"):
+        A, B, C = _qap_evals_at_t(r1cs, dom, t)
     ninst = r1cs.num_instance
     zt = (pow(t, dom.n, R) - 1) % R
     g_inv = pow(gamma, -1, R)
     d_inv = pow(delta, -1, R)
 
-    gamma_abc = [(beta * A[i] + alpha * B[i] + C[i]) * g_inv % R for i in range(ninst)]
-    l_scalars = [
-        (beta * A[i] + alpha * B[i] + C[i]) * d_inv % R
-        for i in range(ninst, r1cs.num_vars)
-    ]
-    h_scalars = [pow(t, i, R) * zt * d_inv % R for i in range(dom.n - 1)]
+    with timed("Groth16::setup scalar prep"):
+        gamma_abc = [(beta * A[i] + alpha * B[i] + C[i]) * g_inv % R for i in range(ninst)]
+        l_scalars = [
+            (beta * A[i] + alpha * B[i] + C[i]) * d_inv % R
+            for i in range(ninst, r1cs.num_vars)
+        ]
+        if _native_ok():
+            h_scalars = nb.u64_to_ints(nb.powers(R, t, zt * d_inv % R, dom.n - 1))
+        else:
+            h_scalars = [pow(t, i, R) * zt * d_inv % R for i in range(dom.n - 1)]
 
     g = G1.generator
     g2 = G2.generator()
     # one batched fixed-base mul per group (a single compiled program each)
     nv = r1cs.num_vars
-    g1_all = fixed_base_mul(
-        g, A + B + h_scalars + l_scalars + gamma_abc + [alpha, beta, delta]
-    )
+    with timed(f"Groth16::setup fixed-base G1 ({3 * nv + dom.n} pts)"):
+        g1_all = fixed_base_mul(
+            g, A + B + h_scalars + l_scalars + gamma_abc + [alpha, beta, delta]
+        )
     a_query, rest = g1_all[:nv], g1_all[nv:]
     b_g1_query, rest = rest[: nv], rest[nv:]
     h_query, rest = rest[: len(h_scalars)], rest[len(h_scalars):]
     l_query, rest = rest[: len(l_scalars)], rest[len(l_scalars):]
     gamma_abc_g1, rest = rest[: ninst], rest[ninst:]
     alpha_g1, beta_g1, delta_g1 = rest
-    g2_all = fixed_base_mul(g2, B + [beta, gamma, delta], g2=True)
+    with timed(f"Groth16::setup fixed-base G2 ({nv} pts)"):
+        g2_all = fixed_base_mul(g2, B + [beta, gamma, delta], g2=True)
     b_g2_query = g2_all[:nv]
     beta_g2, gamma_g2, delta_g2 = g2_all[nv:]
 
@@ -329,20 +413,22 @@ def setup(r1cs: R1CS, rng: random.Random) -> ProvingKey:
 def _compute_h(r1cs: R1CS, z: list[int], dom: ntt.NTTDomain) -> list[int]:
     """h(x) = (A(x)B(x) - C(x)) / Z(x) via coset NTTs on TPU."""
     ctx = dom.ctx
-    a, b, c = _matvec_evals(r1cs, z, dom)
-    am = jnp.asarray(ctx.to_mont_host(a))
-    bm = jnp.asarray(ctx.to_mont_host(b))
-    cm = jnp.asarray(ctx.to_mont_host(c))
-    g = Fr.multiplicative_generator
-    ac = dom.coset_ntt(dom.intt(am), g)
-    bc = dom.coset_ntt(dom.intt(bm), g)
-    cc = dom.coset_ntt(dom.intt(cm), g)
-    prod = ctx.sub_mod(ctx.mont_mul(ac, bc), cc)
-    zinv = pow(dom.vanishing_on_coset(g), -1, R)
-    zinv_m = jnp.asarray(ctx.to_mont_host([zinv])[0])
-    hc = ctx.mont_mul(prod, jnp.broadcast_to(zinv_m, prod.shape))
-    h = dom.coset_intt(hc, g)
-    h_ints = ctx.from_mont_host(np.asarray(h))
+    with timed("prove::matvec Az/Bz/Cz"):
+        a, b, c = _matvec_evals(r1cs, z, dom)
+    with timed(f"prove::NTT h(x) (domain 2^{dom.n.bit_length() - 1})"):
+        am = jnp.asarray(ctx.to_mont_host(a))
+        bm = jnp.asarray(ctx.to_mont_host(b))
+        cm = jnp.asarray(ctx.to_mont_host(c))
+        g = Fr.multiplicative_generator
+        ac = dom.coset_ntt(dom.intt(am), g)
+        bc = dom.coset_ntt(dom.intt(bm), g)
+        cc = dom.coset_ntt(dom.intt(cm), g)
+        prod = ctx.sub_mod(ctx.mont_mul(ac, bc), cc)
+        zinv = pow(dom.vanishing_on_coset(g), -1, R)
+        zinv_m = jnp.asarray(ctx.to_mont_host([zinv])[0])
+        hc = ctx.mont_mul(prod, jnp.broadcast_to(zinv_m, prod.shape))
+        h = dom.coset_intt(hc, g)
+        h_ints = ctx.from_mont_host(np.asarray(h))
     assert h_ints[-1] == 0, "h degree bound violated (unsatisfied R1CS?)"
     return h_ints[:-1]
 
@@ -369,24 +455,33 @@ def prove(
     dom = _domain_for(r1cs)
     h = _compute_h(r1cs, z, dom)
 
-    msm_g1 = get_msm(G1)
-    msm_g2 = get_g2_msm()
+    if _native_msm_prove():
+        with timed(f"prove::MSMs native ({r1cs.num_vars} vars)"):
+            zr = [x % R for x in z]
+            az = nb.msm("bn254_g1", zr, pk.a_query)
+            bz1 = nb.msm("bn254_g1", zr, pk.b_g1_query)
+            hq = nb.msm("bn254_g1", h, pk.h_query)
+            lw = nb.msm("bn254_g1", zr[r1cs.num_instance :], pk.l_query)
+            bz2 = nb.msm_g2(zr, pk.b_g2_query)
+    else:
+        msm_g1 = get_msm(G1)
+        msm_g2 = get_g2_msm()
 
-    # the 4 G1 MSMs run as one vmapped program; the G2 MSM separately
-    res4 = msm_g1.run_device_many(
-        [
-            _msm_problem(pk, "a_query", z, msm_g1),
-            _msm_problem(pk, "b_g1_query", z, msm_g1),
-            _msm_problem(pk, "h_query", h, msm_g1),
-            _msm_problem(pk, "l_query", z[r1cs.num_instance :], msm_g1),
-        ]
-    )
-    az, bz1, hq, lw = msm_g1.ctx.points_to_host(res4)
-    pg2 = _msm_problem(pk, "b_g2_query", z, msm_g2)
-    res2 = msm_g2.run_device(*pg2)
-    bz2 = msm_g2.ctx.points_to_host(
-        JPoints(res2.x[None], res2.y[None], res2.z[None])
-    )[0]
+        # the 4 G1 MSMs run as one vmapped program; the G2 MSM separately
+        res4 = msm_g1.run_device_many(
+            [
+                _msm_problem(pk, "a_query", z, msm_g1),
+                _msm_problem(pk, "b_g1_query", z, msm_g1),
+                _msm_problem(pk, "h_query", h, msm_g1),
+                _msm_problem(pk, "l_query", z[r1cs.num_instance :], msm_g1),
+            ]
+        )
+        az, bz1, hq, lw = msm_g1.ctx.points_to_host(res4)
+        pg2 = _msm_problem(pk, "b_g2_query", z, msm_g2)
+        res2 = msm_g2.run_device(*pg2)
+        bz2 = msm_g2.ctx.points_to_host(
+            JPoints(res2.x[None], res2.y[None], res2.z[None])
+        )[0]
 
     vk = pk.vk
     # A = alpha + sum z_i A_i(t) + r*delta

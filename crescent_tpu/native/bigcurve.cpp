@@ -1,0 +1,1023 @@
+// Native host-side elliptic-curve backend for crescent-tpu.
+//
+// TPU-native framework layering (SURVEY.md §2c "TPU plan per fork"): the
+// *device* compute path is JAX/XLA/Pallas (ops/msm.py, ops/ec.py); this file
+// is the native *host runtime* — the role the reference fills with Rust +
+// x86 asm (forks/halo2curves, e.g. derive/src/field/asm/limb4.rs and
+// src/msm.rs:336-464).  It provides 4x64-bit Montgomery field arithmetic,
+// Jacobian point ops over BN254 G1/G2, P-256 and T-256, windowed fixed-base
+// batch multiplication (Groth16 SRS generation, generator.rs) and a signed
+// -digit Pippenger MSM (msm.rs:336 serial / :432 parallel equivalents).
+//
+// ABI: plain C functions over little-endian 32-byte standard-form (non
+// -Montgomery) field elements.  Affine points are (x, y); (0, 0) encodes the
+// identity (not on any supported curve since b != 0).  G2 elements are
+// (x.c0, x.c1, y.c0, y.c1).
+//
+// Build: g++ -O3 -std=c++17 -shared -fPIC bigcurve.cpp -o libbigcurve.so
+// (driven by crescent_tpu/native/backend.py; pybind11 is not available in
+// this image, so the Python side binds with ctypes).
+
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+#include <thread>
+#include <vector>
+
+typedef unsigned __int128 u128;
+typedef uint64_t u64;
+typedef uint32_t u32;
+
+// ---------------------------------------------------------------------------
+// 4x64 helpers
+// ---------------------------------------------------------------------------
+
+struct U256 {
+    u64 v[4];
+};
+
+static inline bool u256_is_zero(const u64 *a) {
+    return (a[0] | a[1] | a[2] | a[3]) == 0;
+}
+
+static inline int u256_cmp(const u64 *a, const u64 *b) {
+    for (int i = 3; i >= 0; --i) {
+        if (a[i] < b[i]) return -1;
+        if (a[i] > b[i]) return 1;
+    }
+    return 0;
+}
+
+// out = a + b, returns carry
+static inline u64 u256_add(u64 *out, const u64 *a, const u64 *b) {
+    u128 c = 0;
+    for (int i = 0; i < 4; ++i) {
+        c += (u128)a[i] + b[i];
+        out[i] = (u64)c;
+        c >>= 64;
+    }
+    return (u64)c;
+}
+
+// out = a - b, returns borrow
+static inline u64 u256_sub(u64 *out, const u64 *a, const u64 *b) {
+    u128 br = 0;
+    for (int i = 0; i < 4; ++i) {
+        u128 d = (u128)a[i] - b[i] - br;
+        out[i] = (u64)d;
+        br = (d >> 64) & 1;  // two's complement borrow
+    }
+    return (u64)br;
+}
+
+// ---------------------------------------------------------------------------
+// Montgomery field context (runtime modulus; all supported moduli are 254-256
+// bits and odd)
+// ---------------------------------------------------------------------------
+
+struct FieldCtx {
+    u64 mod[4];
+    u64 inv;    // -mod^{-1} mod 2^64
+    u64 r1[4];  // R mod N   (Montgomery form of 1)
+    u64 r2[4];  // R^2 mod N
+};
+
+static void field_init(FieldCtx &f, const u64 mod[4]) {
+    memcpy(f.mod, mod, 32);
+    // Newton iteration for inv = -mod^{-1} mod 2^64
+    u64 x = 1;
+    for (int i = 0; i < 6; ++i) x *= 2 - mod[0] * x;
+    f.inv = (u64)(0 - x);
+    // R mod N via (2^256 - N) reduced (N has its top limb nonzero for all
+    // supported moduli, so 2^256 < 2N and one subtraction-from-zero suffices)
+    u64 zero[4] = {0, 0, 0, 0};
+    u256_sub(f.r1, zero, mod);  // 2^256 - N
+    while (u256_cmp(f.r1, mod) >= 0) u256_sub(f.r1, f.r1, mod);
+    // R^2 mod N by 256 modular doublings of R
+    u64 t[4];
+    memcpy(t, f.r1, 32);
+    for (int i = 0; i < 256; ++i) {
+        u64 carry = u256_add(t, t, t);
+        if (carry || u256_cmp(t, mod) >= 0) u256_sub(t, t, mod);
+    }
+    memcpy(f.r2, t, 32);
+}
+
+// CIOS Montgomery multiply: out = a*b*R^{-1} mod N.
+static inline void fmul(const FieldCtx &f, const u64 *a, const u64 *b, u64 *out) {
+    u64 t[6] = {0, 0, 0, 0, 0, 0};
+    for (int i = 0; i < 4; ++i) {
+        u128 c = 0;
+        u64 bi = b[i];
+        for (int j = 0; j < 4; ++j) {
+            c = (u128)a[j] * bi + t[j] + (u64)c;
+            t[j] = (u64)c;
+            c >>= 64;
+        }
+        u128 c2 = (u128)t[4] + (u64)c;
+        t[4] = (u64)c2;
+        t[5] += (u64)(c2 >> 64);
+
+        u64 m = t[0] * f.inv;
+        c = (u128)m * f.mod[0] + t[0];
+        c >>= 64;
+        for (int j = 1; j < 4; ++j) {
+            c = (u128)m * f.mod[j] + t[j] + (u64)c;
+            t[j - 1] = (u64)c;
+            c >>= 64;
+        }
+        c2 = (u128)t[4] + (u64)c;
+        t[3] = (u64)c2;
+        t[4] = t[5] + (u64)(c2 >> 64);
+        t[5] = 0;
+    }
+    if (t[4] || u256_cmp(t, f.mod) >= 0)
+        u256_sub(out, t, f.mod);
+    else
+        memcpy(out, t, 32);
+}
+
+static inline void fsqr(const FieldCtx &f, const u64 *a, u64 *out) { fmul(f, a, a, out); }
+
+static inline void fadd(const FieldCtx &f, const u64 *a, const u64 *b, u64 *out) {
+    u64 carry = u256_add(out, a, b);
+    if (carry || u256_cmp(out, f.mod) >= 0) u256_sub(out, out, f.mod);
+}
+
+static inline void fsub(const FieldCtx &f, const u64 *a, const u64 *b, u64 *out) {
+    if (u256_sub(out, a, b)) u256_add(out, out, f.mod);
+}
+
+static inline void fneg(const FieldCtx &f, const u64 *a, u64 *out) {
+    if (u256_is_zero(a)) {
+        memset(out, 0, 32);
+    } else {
+        u256_sub(out, f.mod, a);
+    }
+}
+
+static inline void fdbl(const FieldCtx &f, const u64 *a, u64 *out) { fadd(f, a, a, out); }
+
+static inline void to_mont(const FieldCtx &f, const u64 *a, u64 *out) { fmul(f, a, f.r2, out); }
+static inline void from_mont(const FieldCtx &f, const u64 *a, u64 *out) {
+    u64 one[4] = {1, 0, 0, 0};
+    fmul(f, a, one, out);
+}
+
+// Fermat inverse (exponent = N - 2); only used a handful of times per call
+// via the batch-inversion trick, so square-and-multiply is fine.
+static void finv(const FieldCtx &f, const u64 *a, u64 *out) {
+    u64 e[4];
+    u64 two[4] = {2, 0, 0, 0};
+    u256_sub(e, f.mod, two);
+    u64 acc[4], base[4];
+    memcpy(acc, f.r1, 32);
+    memcpy(base, a, 32);
+    for (int limb = 0; limb < 4; ++limb) {
+        u64 bits = e[limb];
+        for (int i = 0; i < 64; ++i) {
+            if ((bits >> i) & 1) fmul(f, acc, base, acc);
+            fsqr(f, base, base);
+        }
+    }
+    memcpy(out, acc, 32);
+}
+
+// ---------------------------------------------------------------------------
+// Field-element abstraction so point formulas template over Fp and Fq2
+// ---------------------------------------------------------------------------
+
+// Prime-field element wrapper
+struct FpOps {
+    static const int WORDS = 4;
+    const FieldCtx *f;
+    explicit FpOps(const FieldCtx *f_) : f(f_) {}
+    void mul(const u64 *a, const u64 *b, u64 *o) const { fmul(*f, a, b, o); }
+    void sqr(const u64 *a, u64 *o) const { fsqr(*f, a, o); }
+    void add(const u64 *a, const u64 *b, u64 *o) const { fadd(*f, a, b, o); }
+    void sub(const u64 *a, const u64 *b, u64 *o) const { fsub(*f, a, b, o); }
+    void neg(const u64 *a, u64 *o) const { fneg(*f, a, o); }
+    void dbl(const u64 *a, u64 *o) const { fdbl(*f, a, o); }
+    bool is_zero(const u64 *a) const { return u256_is_zero(a); }
+    void one(u64 *o) const { memcpy(o, f->r1, 32); }  // Montgomery 1
+    void inv(const u64 *a, u64 *o) const { finv(*f, a, o); }
+    void set(u64 *o, const u64 *a) const { memcpy(o, a, 32); }
+    void zero(u64 *o) const { memset(o, 0, 32); }
+};
+
+// Fq2 = Fq[u]/(u^2+1) for BN254 G2 (halo2curves bn256/fq2.rs layout: c0, c1)
+struct Fq2Ops {
+    static const int WORDS = 8;
+    const FieldCtx *f;
+    explicit Fq2Ops(const FieldCtx *f_) : f(f_) {}
+    void mul(const u64 *a, const u64 *b, u64 *o) const {
+        u64 m0[4], m1[4], s0[4], s1[4], m2[4];
+        fmul(*f, a, b, m0);           // a0*b0
+        fmul(*f, a + 4, b + 4, m1);   // a1*b1
+        fadd(*f, a, a + 4, s0);
+        fadd(*f, b, b + 4, s1);
+        fmul(*f, s0, s1, m2);         // (a0+a1)(b0+b1)
+        u64 re[4];
+        fsub(*f, m0, m1, re);         // a0b0 - a1b1
+        fsub(*f, m2, m0, m2);
+        fsub(*f, m2, m1, o + 4);      // a0b1 + a1b0
+        memcpy(o, re, 32);
+    }
+    void sqr(const u64 *a, u64 *o) const {
+        // (a0+a1)(a0-a1), 2*a0*a1
+        u64 s[4], d[4], re[4];
+        fadd(*f, a, a + 4, s);
+        fsub(*f, a, a + 4, d);
+        u64 im[4];
+        fmul(*f, a, a + 4, im);
+        fmul(*f, s, d, re);
+        fdbl(*f, im, o + 4);
+        memcpy(o, re, 32);
+    }
+    void add(const u64 *a, const u64 *b, u64 *o) const {
+        fadd(*f, a, b, o);
+        fadd(*f, a + 4, b + 4, o + 4);
+    }
+    void sub(const u64 *a, const u64 *b, u64 *o) const {
+        fsub(*f, a, b, o);
+        fsub(*f, a + 4, b + 4, o + 4);
+    }
+    void neg(const u64 *a, u64 *o) const {
+        fneg(*f, a, o);
+        fneg(*f, a + 4, o + 4);
+    }
+    void dbl(const u64 *a, u64 *o) const {
+        fdbl(*f, a, o);
+        fdbl(*f, a + 4, o + 4);
+    }
+    bool is_zero(const u64 *a) const { return u256_is_zero(a) && u256_is_zero(a + 4); }
+    void one(u64 *o) const {
+        memcpy(o, f->r1, 32);
+        memset(o + 4, 0, 32);
+    }
+    void inv(const u64 *a, u64 *o) const {
+        // 1/(a0 + a1 u) = (a0 - a1 u) / (a0^2 + a1^2)
+        u64 n0[4], n1[4], d[4], di[4];
+        fsqr(*f, a, n0);
+        fsqr(*f, a + 4, n1);
+        fadd(*f, n0, n1, d);
+        finv(*f, d, di);
+        fmul(*f, a, di, o);
+        u64 na1[4];
+        fneg(*f, a + 4, na1);
+        fmul(*f, na1, di, o + 4);
+    }
+    void set(u64 *o, const u64 *a) const { memcpy(o, a, 64); }
+    void zero(u64 *o) const { memset(o, 0, 64); }
+};
+
+// ---------------------------------------------------------------------------
+// Jacobian point ops, templated over the field (identity: Z == 0)
+// ---------------------------------------------------------------------------
+
+enum ACoeff { A_ZERO = 0, A_MINUS3 = 1 };
+
+template <class F>
+struct Point {
+    u64 x[F::WORDS], y[F::WORDS], z[F::WORDS];
+};
+
+template <class F>
+struct CurveOps {
+    F f;
+    int a_kind;
+    CurveOps(const F &f_, int a_kind_) : f(f_), a_kind(a_kind_) {}
+
+    typedef Point<F> P;
+
+    void set_identity(P &p) const {
+        f.zero(p.x);
+        f.one(p.y);
+        f.zero(p.z);
+    }
+    bool is_identity(const P &p) const { return f.is_zero(p.z); }
+
+    void from_affine(P &p, const u64 *x, const u64 *y, bool is_inf) const {
+        if (is_inf) {
+            set_identity(p);
+            return;
+        }
+        f.set(p.x, x);
+        f.set(p.y, y);
+        f.one(p.z);
+    }
+
+    // dbl-2007-bl; a = 0 or -3 specializations
+    void dbl(const P &p, P &o) const {
+        if (is_identity(p)) {
+            o = p;
+            return;
+        }
+        u64 XX[F::WORDS], YY[F::WORDS], YYYY[F::WORDS], ZZ[F::WORDS];
+        u64 S[F::WORDS], M[F::WORDS], T[F::WORDS], t0[F::WORDS], t1[F::WORDS];
+        f.sqr(p.x, XX);
+        f.sqr(p.y, YY);
+        f.sqr(YY, YYYY);
+        f.sqr(p.z, ZZ);
+        f.add(p.x, YY, t0);
+        f.sqr(t0, S);
+        f.sub(S, XX, S);
+        f.sub(S, YYYY, S);
+        f.dbl(S, S);
+        f.dbl(XX, M);
+        f.add(M, XX, M);  // 3*XX
+        if (a_kind == A_MINUS3) {
+            // M = 3XX - 3*ZZ^2
+            u64 Z4[F::WORDS];
+            f.sqr(ZZ, Z4);
+            f.dbl(Z4, t0);
+            f.add(t0, Z4, t0);  // 3*Z^4
+            f.sub(M, t0, M);
+        }
+        f.sqr(M, T);
+        f.dbl(S, t0);
+        f.sub(T, t0, T);  // T = M^2 - 2S
+        // Z3 = (Y+Z)^2 - YY - ZZ  (before writing o.y/o.x: o may alias p)
+        u64 z3[F::WORDS];
+        f.add(p.y, p.z, t0);
+        f.sqr(t0, t0);
+        f.sub(t0, YY, t0);
+        f.sub(t0, ZZ, z3);
+        // Y3 = M*(S-T) - 8*YYYY
+        f.sub(S, T, t0);
+        f.mul(M, t0, t1);
+        u64 e8[F::WORDS];
+        f.dbl(YYYY, e8);
+        f.dbl(e8, e8);
+        f.dbl(e8, e8);
+        f.sub(t1, e8, o.y);
+        f.set(o.z, z3);
+        f.set(o.x, T);
+    }
+
+    // mixed add (q affine, never infinity), madd-2007-bl with branches
+    void madd(const P &p, const u64 *qx, const u64 *qy, P &o) const {
+        if (is_identity(p)) {
+            from_affine(o, qx, qy, false);
+            return;
+        }
+        u64 Z1Z1[F::WORDS], U2[F::WORDS], S2[F::WORDS], H[F::WORDS], r[F::WORDS];
+        u64 t0[F::WORDS], t1[F::WORDS];
+        f.sqr(p.z, Z1Z1);
+        f.mul(qx, Z1Z1, U2);
+        f.mul(qy, p.z, t0);
+        f.mul(t0, Z1Z1, S2);
+        f.sub(U2, p.x, H);
+        f.sub(S2, p.y, r);
+        if (f.is_zero(H)) {
+            if (f.is_zero(r)) {
+                dbl(p, o);
+            } else {
+                set_identity(o);
+            }
+            return;
+        }
+        u64 HH[F::WORDS], I[F::WORDS], J[F::WORDS], rr[F::WORDS], V[F::WORDS];
+        f.sqr(H, HH);
+        f.dbl(HH, I);
+        f.dbl(I, I);  // 4*HH
+        f.mul(H, I, J);
+        f.dbl(r, rr);
+        f.mul(p.x, I, V);
+        // X3 = rr^2 - J - 2V
+        f.sqr(rr, t0);
+        f.sub(t0, J, t0);
+        f.dbl(V, t1);
+        f.sub(t0, t1, o.x);
+        // Y3 = rr*(V - X3) - 2*Y1*J
+        f.sub(V, o.x, t0);
+        f.mul(rr, t0, t0);
+        f.mul(p.y, J, t1);
+        f.dbl(t1, t1);
+        f.sub(t0, t1, o.y);
+        // Z3 = (Z1+H)^2 - Z1Z1 - HH
+        f.add(p.z, H, t0);
+        f.sqr(t0, t0);
+        f.sub(t0, Z1Z1, t0);
+        f.sub(t0, HH, o.z);
+    }
+
+    // full Jacobian add (add-2007-bl) with branches
+    void add(const P &p, const P &q, P &o) const {
+        if (is_identity(p)) {
+            o = q;
+            return;
+        }
+        if (is_identity(q)) {
+            o = p;
+            return;
+        }
+        u64 Z1Z1[F::WORDS], Z2Z2[F::WORDS], U1[F::WORDS], U2[F::WORDS];
+        u64 S1[F::WORDS], S2[F::WORDS], H[F::WORDS], r[F::WORDS], t0[F::WORDS], t1[F::WORDS];
+        f.sqr(p.z, Z1Z1);
+        f.sqr(q.z, Z2Z2);
+        f.mul(p.x, Z2Z2, U1);
+        f.mul(q.x, Z1Z1, U2);
+        f.mul(p.y, q.z, t0);
+        f.mul(t0, Z2Z2, S1);
+        f.mul(q.y, p.z, t0);
+        f.mul(t0, Z1Z1, S2);
+        f.sub(U2, U1, H);
+        f.sub(S2, S1, r);
+        if (f.is_zero(H)) {
+            if (f.is_zero(r)) {
+                dbl(p, o);
+            } else {
+                set_identity(o);
+            }
+            return;
+        }
+        u64 I[F::WORDS], J[F::WORDS], rr[F::WORDS], V[F::WORDS];
+        f.dbl(H, t0);
+        f.sqr(t0, I);
+        f.mul(H, I, J);
+        f.dbl(r, rr);
+        f.mul(U1, I, V);
+        f.sqr(rr, t0);
+        f.sub(t0, J, t0);
+        f.dbl(V, t1);
+        f.sub(t0, t1, o.x);
+        f.sub(V, o.x, t0);
+        f.mul(rr, t0, t0);
+        f.mul(S1, J, t1);
+        f.dbl(t1, t1);
+        f.sub(t0, t1, o.y);
+        f.add(p.z, q.z, t0);
+        f.sqr(t0, t0);
+        f.sub(t0, Z1Z1, t0);
+        f.sub(t0, Z2Z2, t0);
+        f.mul(t0, H, o.z);
+    }
+
+    void neg(P &p) const { f.neg(p.y, p.y); }
+
+    // Batch-normalize jacobian points to affine standard form (out: x,y per
+    // point; identity -> zeros).  Montgomery batch inversion of Z.
+    void batch_normalize(std::vector<P> &pts, u64 *out) const {
+        size_t n = pts.size();
+        const int W = F::WORDS;
+        std::vector<u64> prefix((n + 1) * W);
+        f.one(&prefix[0]);
+        for (size_t i = 0; i < n; ++i) {
+            const u64 *zi = pts[i].z;
+            u64 tmp[F::WORDS];
+            if (f.is_zero(zi)) {
+                f.one(tmp);
+                f.mul(&prefix[i * W], tmp, &prefix[(i + 1) * W]);
+            } else {
+                f.mul(&prefix[i * W], zi, &prefix[(i + 1) * W]);
+            }
+        }
+        u64 total[F::WORDS];
+        f.inv(&prefix[n * W], total);
+        std::vector<u64> zinv(n * W);
+        for (size_t i = n; i-- > 0;) {
+            const u64 *zi = pts[i].z;
+            if (f.is_zero(zi)) {
+                f.zero(&zinv[i * W]);  // unused
+            } else {
+                f.mul(total, &prefix[i * W], &zinv[i * W]);
+                f.mul(total, zi, total);
+            }
+        }
+        for (size_t i = 0; i < n; ++i) {
+            u64 *ox = out + i * 2 * W;
+            u64 *oy = ox + W;
+            if (f.is_zero(pts[i].z)) {
+                memset(ox, 0, 2 * W * 8);
+                continue;
+            }
+            u64 zi2[F::WORDS], zi3[F::WORDS], xm[F::WORDS], ym[F::WORDS];
+            f.sqr(&zinv[i * W], zi2);
+            f.mul(zi2, &zinv[i * W], zi3);
+            f.mul(pts[i].x, zi2, xm);
+            f.mul(pts[i].y, zi3, ym);
+            // from Montgomery per base-field word group
+            for (int wgrp = 0; wgrp < W / 4; ++wgrp) {
+                from_mont(*f.f, xm + wgrp * 4, ox + wgrp * 4);
+                from_mont(*f.f, ym + wgrp * 4, oy + wgrp * 4);
+            }
+        }
+    }
+};
+
+// ---------------------------------------------------------------------------
+// Scalar recoding (signed windows)
+// ---------------------------------------------------------------------------
+
+static inline u32 scalar_window(const u64 *k, int bit, int c) {
+    // extract c bits starting at `bit` (little-endian), bit+c may exceed 256
+    int limb = bit >> 6;
+    int off = bit & 63;
+    u64 lo = k[limb] >> off;
+    if (off + c > 64 && limb + 1 < 4) lo |= k[limb + 1] << (64 - off);
+    return (u32)(lo & ((1u << c) - 1));
+}
+
+// Signed digits in [-(2^(c-1)-1), 2^(c-1)] stored as (mag, sign); the carry
+// chain matches ops/msm.py scalar_digits_signed bit-for-bit.
+struct SignedDigits {
+    // mag in [0, 2^(c-1)], sign 0/1; max windows = ceil(256/3) + 1 = 87
+    u32 mag[90];
+    unsigned char sign[90];
+    int W;
+};
+
+static void recode(const u64 *k, int c, SignedDigits &sd) {
+    int W = (256 + c - 1) / c;
+    u32 half = 1u << (c - 1);
+    u32 full = 1u << c;
+    u32 carry = 0;
+    for (int w = 0; w < W; ++w) {
+        u32 d = scalar_window(k, w * c, c) + carry;
+        if (d > half) {
+            sd.mag[w] = full - d;
+            sd.sign[w] = 1;
+            carry = 1;
+        } else {
+            sd.mag[w] = d;
+            sd.sign[w] = 0;
+            carry = 0;
+        }
+    }
+    sd.mag[W] = carry;
+    sd.sign[W] = 0;
+    sd.W = W + 1;
+}
+
+// ---------------------------------------------------------------------------
+// Fixed-base batch multiplication
+// ---------------------------------------------------------------------------
+
+template <class F>
+static void fixed_base_impl(const CurveOps<F> &ops, const u64 *base_xy, const u64 *scalars,
+                            size_t n, u64 *out, int nthreads, int c) {
+    typedef Point<F> P;
+    const int W = F::WORDS;
+    int nwin = (256 + c - 1) / c + 1;
+    u32 half = 1u << (c - 1);
+
+    // table[w][d-1] = d * 2^{cw} * B for d in 1..half (Jacobian)
+    std::vector<P> table((size_t)nwin * half);
+    P cur;
+    bool base_inf = true;
+    for (int j = 0; j < 2 * W; ++j)
+        if (base_xy[j]) { base_inf = false; break; }
+    // base affine -> Montgomery
+    u64 bx[F::WORDS], by[F::WORDS];
+    for (int g = 0; g < W / 4; ++g) {
+        to_mont(*ops.f.f, base_xy + g * 4, bx + g * 4);
+        to_mont(*ops.f.f, base_xy + W + g * 4, by + g * 4);
+    }
+    ops.from_affine(cur, bx, by, base_inf);
+    for (int w = 0; w < nwin; ++w) {
+        P acc = cur;
+        table[(size_t)w * half + 0] = acc;
+        for (u32 d = 2; d <= half; ++d) {
+            ops.add(acc, cur, acc);
+            table[(size_t)w * half + (d - 1)] = acc;
+        }
+        // cur = 2^c * cur
+        for (int i = 0; i < c; ++i) ops.dbl(cur, cur);
+    }
+
+    int T = nthreads > 1 ? nthreads : 1;
+    std::vector<P> results(n);
+    auto worker = [&](size_t lo, size_t hi) {
+        SignedDigits sd;
+        for (size_t i = lo; i < hi; ++i) {
+            recode(scalars + i * 4, c, sd);
+            P acc;
+            ops.set_identity(acc);
+            for (int w = 0; w < sd.W && w < nwin; ++w) {
+                if (!sd.mag[w]) continue;
+                const P &e = table[(size_t)w * half + (sd.mag[w] - 1)];
+                if (sd.sign[w]) {
+                    P en = e;
+                    ops.neg(en);
+                    ops.add(acc, en, acc);
+                } else {
+                    ops.add(acc, e, acc);
+                }
+            }
+            results[i] = acc;
+        }
+    };
+    if (T == 1 || n < 64) {
+        worker(0, n);
+    } else {
+        std::vector<std::thread> ths;
+        size_t chunk = (n + T - 1) / T;
+        for (int t = 0; t < T; ++t) {
+            size_t lo = t * chunk, hi = lo + chunk < n ? lo + chunk : n;
+            if (lo >= hi) break;
+            ths.emplace_back(worker, lo, hi);
+        }
+        for (auto &th : ths) th.join();
+    }
+    ops.batch_normalize(results, out);
+}
+
+// ---------------------------------------------------------------------------
+// Pippenger MSM
+// ---------------------------------------------------------------------------
+
+static int pippenger_c(size_t n) {
+    int c = 3;
+    size_t t = n;
+    while (t >>= 1) ++c;  // ~log2(n) + 3
+    c -= 3;
+    if (c < 3) c = 3;
+    if (c > 16) c = 16;
+    return c;
+}
+
+template <class F>
+static void msm_impl(const CurveOps<F> &ops, const u64 *pts, const u64 *scalars, size_t n,
+                     u64 *out, int nthreads) {
+    typedef Point<F> P;
+    const int W = F::WORDS;
+    int c = pippenger_c(n);
+    int nwin = (256 + c - 1) / c + 1;
+    u32 half = 1u << (c - 1);
+
+    // Montgomery-form affine copies (+ infinity flags)
+    std::vector<u64> mx(n * W), my(n * W);
+    std::vector<unsigned char> inf(n);
+    for (size_t i = 0; i < n; ++i) {
+        const u64 *px = pts + i * 2 * W;
+        const u64 *py = px + W;
+        bool is_inf = true;
+        for (int j = 0; j < 2 * W; ++j)
+            if (px[j]) { is_inf = false; break; }
+        inf[i] = is_inf;
+        if (!is_inf) {
+            for (int g = 0; g < W / 4; ++g) {
+                to_mont(*ops.f.f, px + g * 4, &mx[i * W + g * 4]);
+                to_mont(*ops.f.f, py + g * 4, &my[i * W + g * 4]);
+            }
+        }
+    }
+    // per-point signed digits
+    std::vector<u32> dig((size_t)n * nwin);
+    std::vector<unsigned char> sgn((size_t)n * nwin);
+    {
+        SignedDigits sd;
+        for (size_t i = 0; i < n; ++i) {
+            recode(scalars + i * 4, c, sd);
+            for (int w = 0; w < nwin; ++w) {
+                dig[i * nwin + w] = w < sd.W ? sd.mag[w] : 0;
+                sgn[i * nwin + w] = w < sd.W ? sd.sign[w] : 0;
+            }
+        }
+    }
+
+    std::vector<P> window_sums(nwin);
+    auto window_worker = [&](int w) {
+        std::vector<P> buckets(half);
+        std::vector<unsigned char> used(half, 0);
+        for (size_t i = 0; i < n; ++i) {
+            if (inf[i]) continue;
+            u32 d = dig[i * nwin + w];
+            if (!d) continue;
+            u32 b = d - 1;
+            if (!used[b]) {
+                ops.from_affine(buckets[b], &mx[i * W], &my[i * W], false);
+                if (sgn[i * nwin + w]) ops.neg(buckets[b]);
+                used[b] = 1;
+            } else if (sgn[i * nwin + w]) {
+                u64 ny[F::WORDS];
+                ops.f.neg(&my[i * W], ny);
+                ops.madd(buckets[b], &mx[i * W], ny, buckets[b]);
+            } else {
+                ops.madd(buckets[b], &mx[i * W], &my[i * W], buckets[b]);
+            }
+        }
+        // suffix sums: sum_d d*bucket[d]
+        P running, acc;
+        ops.set_identity(running);
+        ops.set_identity(acc);
+        for (int b = (int)half - 1; b >= 0; --b) {
+            if (used[b]) ops.add(running, buckets[b], running);
+            ops.add(acc, running, acc);
+        }
+        window_sums[w] = acc;
+    };
+
+    int T = nthreads > 1 ? nthreads : 1;
+    if (T == 1) {
+        for (int w = 0; w < nwin; ++w) window_worker(w);
+    } else {
+        std::vector<std::thread> ths;
+        std::atomic_int next{0};
+        for (int t = 0; t < T; ++t)
+            ths.emplace_back([&]() {
+                for (;;) {
+                    int w = next.fetch_add(1);
+                    if (w >= nwin) return;
+                    window_worker(w);
+                }
+            });
+        for (auto &th : ths) th.join();
+    }
+
+    // Horner combine, top window first
+    P res;
+    ops.set_identity(res);
+    for (int w = nwin - 1; w >= 0; --w) {
+        for (int i = 0; i < c && w != nwin - 1; ++i) ops.dbl(res, res);
+        ops.add(res, window_sums[w], res);
+    }
+    std::vector<P> single(1, res);
+    ops.batch_normalize(single, out);
+}
+
+// ---------------------------------------------------------------------------
+// Curve registry + C ABI
+// ---------------------------------------------------------------------------
+
+// moduli (little-endian 64-bit limbs)
+static const u64 BN254_FQ[4] = {0x3c208c16d87cfd47ull, 0x97816a916871ca8dull,
+                                0xb85045b68181585dull, 0x30644e72e131a029ull};
+static const u64 P256_FP[4] = {0xffffffffffffffffull, 0x00000000ffffffffull,
+                               0x0000000000000000ull, 0xffffffff00000001ull};
+static const u64 T256_FP[4] = {0x93135661b1c4b117ull, 0x7e72b42b30e73177ull,
+                               0x0000000000000001ull, 0xffffffff00000001ull};
+
+struct CurveEntry {
+    FieldCtx field;
+    int a_kind;
+    bool init = false;
+};
+
+static CurveEntry g_curves[3];
+static FieldCtx g_bn254_fq;
+static bool g_g2_init = false;
+
+static CurveEntry *get_curve(int id) {
+    if (id < 0 || id > 2) return nullptr;
+    CurveEntry &e = g_curves[id];
+    if (!e.init) {
+        const u64 *mod = id == 0 ? BN254_FQ : (id == 1 ? P256_FP : T256_FP);
+        field_init(e.field, mod);
+        e.a_kind = id == 0 ? A_ZERO : A_MINUS3;
+        e.init = true;
+    }
+    return &e;
+}
+
+static FieldCtx *get_g2_field() {
+    if (!g_g2_init) {
+        field_init(g_bn254_fq, BN254_FQ);
+        g_g2_init = true;
+    }
+    return &g_bn254_fq;
+}
+
+extern "C" {
+
+// out: n * 2 * 4 u64 (affine x,y standard form; identity -> zeros)
+int cn_fixed_base(int curve_id, const u64 *base_xy, const u64 *scalars, size_t n, u64 *out,
+                  int nthreads) {
+    CurveEntry *e = get_curve(curve_id);
+    if (!e) return -1;
+    FpOps f(&e->field);
+    CurveOps<FpOps> ops(f, e->a_kind);
+    fixed_base_impl(ops, base_xy, scalars, n, out, nthreads, 8);
+    return 0;
+}
+
+int cn_msm(int curve_id, const u64 *pts, const u64 *scalars, size_t n, u64 *out, int nthreads) {
+    CurveEntry *e = get_curve(curve_id);
+    if (!e) return -1;
+    FpOps f(&e->field);
+    CurveOps<FpOps> ops(f, e->a_kind);
+    msm_impl(ops, pts, scalars, n, out, nthreads);
+    return 0;
+}
+
+// G2: points are 8 u64 per coordinate pair component -> 16 u64 per point
+int cn_fixed_base_g2(const u64 *base, const u64 *scalars, size_t n, u64 *out, int nthreads) {
+    Fq2Ops f(get_g2_field());
+    CurveOps<Fq2Ops> ops(f, A_ZERO);
+    fixed_base_impl(ops, base, scalars, n, out, nthreads, 8);
+    return 0;
+}
+
+int cn_msm_g2(const u64 *pts, const u64 *scalars, size_t n, u64 *out, int nthreads) {
+    Fq2Ops f(get_g2_field());
+    CurveOps<Fq2Ops> ops(f, A_ZERO);
+    msm_impl(ops, pts, scalars, n, out, nthreads);
+    return 0;
+}
+
+// batched independent scalar muls (variable bases): out[i] = k[i] * P[i]
+int cn_mul_many(int curve_id, const u64 *pts, const u64 *scalars, size_t n, u64 *out,
+                int nthreads) {
+    CurveEntry *e = get_curve(curve_id);
+    if (!e) return -1;
+    FpOps f(&e->field);
+    CurveOps<FpOps> ops(f, e->a_kind);
+    typedef Point<FpOps> P;
+    std::vector<P> results(n);
+    auto worker = [&](size_t lo, size_t hi) {
+        SignedDigits sd;
+        for (size_t i = lo; i < hi; ++i) {
+            const u64 *px = pts + i * 8;
+            bool is_inf = true;
+            for (int j = 0; j < 8; ++j)
+                if (px[j]) { is_inf = false; break; }
+            P acc;
+            ops.set_identity(acc);
+            if (is_inf) {
+                results[i] = acc;
+                continue;
+            }
+            u64 mxx[4], myy[4];
+            to_mont(e->field, px, mxx);
+            to_mont(e->field, px + 4, myy);
+            // double-and-add, 4-bit windows
+            recode(scalars + i * 4, 4, sd);
+            // precompute 1..8 multiples
+            P tab[8];
+            ops.from_affine(tab[0], mxx, myy, false);
+            for (int d = 1; d < 8; ++d) ops.madd(tab[d - 1], mxx, myy, tab[d]);
+            for (int w = sd.W - 1; w >= 0; --w) {
+                if (w != sd.W - 1)
+                    for (int b = 0; b < 4; ++b) ops.dbl(acc, acc);
+                if (sd.mag[w]) {
+                    P ee = tab[sd.mag[w] - 1];
+                    if (sd.sign[w]) ops.neg(ee);
+                    ops.add(acc, ee, acc);
+                }
+            }
+            results[i] = acc;
+        }
+    };
+    int T = nthreads > 1 ? nthreads : 1;
+    if (T == 1 || n < 16) {
+        worker(0, n);
+    } else {
+        std::vector<std::thread> ths;
+        size_t chunk = (n + T - 1) / T;
+        for (int t = 0; t < T; ++t) {
+            size_t lo = t * chunk, hi = lo + chunk < n ? lo + chunk : n;
+            if (lo >= hi) break;
+            ths.emplace_back(worker, lo, hi);
+        }
+        for (auto &th : ths) th.join();
+    }
+    ops.batch_normalize(results, out);
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Generic modular vector kernels (host-side witness/QAP/sumcheck work).
+// All values standard form (non-Montgomery) LE 4xu64; modulus passed per call.
+// ---------------------------------------------------------------------------
+
+// out[out_idx[k]] += coeff[k] * x[in_idx[k]]  (mod N), k = 0..nnz-1.
+// Used for R1CS matvec a = Az (out_idx = constraint row) and its transpose
+// in QAP evaluation A_i(t) (out_idx = variable, x = Lagrange coeffs) —
+// forks/groth16/src/r1cs_to_qap.rs semantics.  `out` must be zeroed by the
+// caller (or carry a previous standard-form accumulation).
+int cn_coo_matvec(const u64 *mod, size_t nnz, const u32 *out_idx, const u32 *in_idx,
+                  const u64 *coeff, const u64 *x, u64 *out, size_t n_out) {
+    FieldCtx f;
+    field_init(f, mod);
+    // accumulate c*z*R^{-1}; fix with one *R^2 Montgomery mul at the end
+    std::vector<u64> acc(n_out * 4, 0);
+    // convert existing out to the same domain: acc = out * R^{-1}*R = treat
+    // out as standard and multiply by R^{-2}... simpler: require zeroed out,
+    // or fold prior value by mont_mul(out, one) = out*R^{-1}
+    u64 one[4] = {1, 0, 0, 0};
+    for (size_t i = 0; i < n_out; ++i) {
+        if (!u256_is_zero(out + i * 4)) fmul(f, out + i * 4, one, &acc[i * 4]);
+    }
+    for (size_t k = 0; k < nnz; ++k) {
+        u64 p[4];
+        fmul(f, coeff + k * 4, x + (size_t)in_idx[k] * 4, p);  // c*z*R^{-1}
+        fadd(f, &acc[(size_t)out_idx[k] * 4], p, &acc[(size_t)out_idx[k] * 4]);
+    }
+    for (size_t i = 0; i < n_out; ++i) fmul(f, &acc[i * 4], f.r2, out + i * 4);
+    return 0;
+}
+
+// Lagrange basis at tau: out[j] = factor * w^j / (t - w^j), j = 0..n-1,
+// with factor = (t^n - 1)/n precomputed by the caller (models/groth16.py
+// _lagrange_coeffs_at).
+int cn_lagrange_at(const u64 *mod, const u64 *w_std, const u64 *t_std,
+                   const u64 *factor_std, size_t n, u64 *out) {
+    FieldCtx f;
+    field_init(f, mod);
+    u64 w[4], t[4], factor[4];
+    to_mont(f, w_std, w);
+    to_mont(f, t_std, t);
+    to_mont(f, factor_std, factor);
+    std::vector<u64> nums(n * 4), dens(n * 4), prefix((n + 1) * 4);
+    u64 wj[4];
+    memcpy(wj, f.r1, 32);  // 1 in Montgomery
+    memcpy(&prefix[0], f.r1, 32);
+    for (size_t j = 0; j < n; ++j) {
+        fmul(f, factor, wj, &nums[j * 4]);
+        fsub(f, t, wj, &dens[j * 4]);
+        fmul(f, &prefix[j * 4], &dens[j * 4], &prefix[(j + 1) * 4]);
+        fmul(f, wj, w, wj);
+    }
+    u64 total[4];
+    finv(f, &prefix[n * 4], total);
+    for (size_t j = n; j-- > 0;) {
+        u64 inv_j[4];
+        fmul(f, total, &prefix[j * 4], inv_j);
+        fmul(f, total, &dens[j * 4], total);
+        u64 lm[4];
+        fmul(f, &nums[j * 4], inv_j, lm);
+        from_mont(f, lm, out + j * 4);
+    }
+    return 0;
+}
+
+// Elementwise vector ops, standard form: op 0 = mul, 1 = add, 2 = sub.
+int cn_vec_op(const u64 *mod, int op, const u64 *a, const u64 *b, size_t n, u64 *out) {
+    FieldCtx f;
+    field_init(f, mod);
+    if (op == 0) {
+        for (size_t i = 0; i < n; ++i) {
+            u64 m[4];
+            fmul(f, a + i * 4, b + i * 4, m);       // a*b*R^{-1}
+            fmul(f, m, f.r2, out + i * 4);          // *R^2*R^{-1} = a*b
+        }
+    } else if (op == 1) {
+        for (size_t i = 0; i < n; ++i) fadd(f, a + i * 4, b + i * 4, out + i * 4);
+    } else if (op == 2) {
+        for (size_t i = 0; i < n; ++i) fsub(f, a + i * 4, b + i * 4, out + i * 4);
+    } else {
+        return -1;
+    }
+    return 0;
+}
+
+// Batch inversion, standard form; zeros map to zero.
+int cn_batch_inv(const u64 *mod, const u64 *a, size_t n, u64 *out) {
+    FieldCtx f;
+    field_init(f, mod);
+    std::vector<u64> prefix((n + 1) * 4), am(n * 4);
+    memcpy(&prefix[0], f.r1, 32);
+    for (size_t i = 0; i < n; ++i) {
+        if (u256_is_zero(a + i * 4)) {
+            memcpy(&am[i * 4], f.r1, 32);  // placeholder 1
+        } else {
+            to_mont(f, a + i * 4, &am[i * 4]);
+        }
+        fmul(f, &prefix[i * 4], &am[i * 4], &prefix[(i + 1) * 4]);
+    }
+    u64 total[4];
+    finv(f, &prefix[n * 4], total);
+    for (size_t i = n; i-- > 0;) {
+        u64 inv_i[4];
+        fmul(f, total, &prefix[i * 4], inv_i);
+        fmul(f, total, &am[i * 4], total);
+        if (u256_is_zero(a + i * 4)) {
+            memset(out + i * 4, 0, 32);
+        } else {
+            from_mont(f, inv_i, out + i * 4);
+        }
+    }
+    return 0;
+}
+
+// out[j] = scale * base^j, standard form.
+int cn_powers(const u64 *mod, const u64 *base_std, const u64 *scale_std, size_t n, u64 *out) {
+    FieldCtx f;
+    field_init(f, mod);
+    u64 b[4], acc[4];
+    to_mont(f, base_std, b);
+    to_mont(f, scale_std, acc);
+    for (size_t j = 0; j < n; ++j) {
+        from_mont(f, acc, out + j * 4);
+        fmul(f, acc, b, acc);
+    }
+    return 0;
+}
+
+// Dot product sum_i a[i]*b[i] mod N, standard form.
+int cn_dot(const u64 *mod, const u64 *a, const u64 *b, size_t n, u64 *out) {
+    FieldCtx f;
+    field_init(f, mod);
+    u64 acc[4] = {0, 0, 0, 0};
+    for (size_t i = 0; i < n; ++i) {
+        u64 p[4];
+        fmul(f, a + i * 4, b + i * 4, p);  // a*b*R^{-1}
+        fadd(f, acc, p, acc);
+    }
+    fmul(f, acc, f.r2, out);
+    return 0;
+}
+
+}  // extern "C"

@@ -12,14 +12,13 @@ from __future__ import annotations
 import base64
 import hashlib
 import json
-import pickle
 import threading
 import time
 import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from ..credentials import api
-from ..credentials.circuits import StubJWTFrontend
+from ..credentials.circuits import JWTFrontend, StubJWTFrontend
 from ..credentials.prep_inputs import ProofSpec, parse_config, prepare_prover_inputs
 from ..credentials.structs import IOLocations
 from ..utils import jwt as jwtutil
@@ -28,11 +27,27 @@ from . import common
 
 
 def _b64url_obj(obj) -> str:
-    return to_b64url(pickle.dumps(obj))
+    """b64url of ark CanonicalSerialize bytes (utils.rs:154-166
+    write_to_b64url) — the wire format the reference services/extension use."""
+    from ..utils import ark
+
+    return to_b64url(ark.serialize(obj))
 
 
-def _obj_b64url(s: str):
-    return pickle.loads(from_b64url(s))
+def _obj_b64url(s: str, typ):
+    """Typed decode (utils.rs:167-177 read_from_b64url::<T>); never executes
+    attacker-controlled bytes, unlike a pickle load."""
+    from ..utils import ark
+
+    return ark.deserialize(from_b64url(s), typ)
+
+
+def _showdata_b64url(client_state, range_pk) -> str:
+    """ShowData = (ClientState, RangeProofPK) struct bytes, b64url-wrapped
+    (client_helper main.rs:259 getshowdata)."""
+    from ..utils import ark
+
+    return to_b64url(ark.ser_client_state(client_state) + ark.ser_range_proof_pk(range_pk))
 
 
 class _JsonHandler(BaseHTTPRequestHandler):
@@ -205,10 +220,29 @@ class ClientHelperService:
     """Holds client state per credential; background-threads the slow prove
     (the reference tokio-spawns it, main.rs:178-243)."""
 
-    def __init__(self, base_path: str):
+    def __init__(self, base_path: str, frontend=None):
         self.paths = api.CachePaths(base_path)
         self.creds: dict[str, dict] = {}
         self.lock = threading.Lock()
+        self.frontend = frontend if frontend is not None else self._default_frontend()
+
+    def _default_frontend(self):
+        """The REAL statement circuit for the configured credtype (the stub
+        is a protocol-test scaffold only; opt back in with
+        CRESCENT_SAMPLE_FRONTEND=stub for demo-speed runs)."""
+        import os
+
+        if os.environ.get("CRESCENT_SAMPLE_FRONTEND") == "stub":
+            return StubJWTFrontend()
+        try:
+            credtype = json.load(open(self.paths.config)).get("credtype")
+        except FileNotFoundError:
+            credtype = None
+        if credtype == "mdl":
+            from ..credentials.mdl import MDLFrontend
+
+            return MDLFrontend(issuer_pem=open(self.paths.issuer_pem).read())
+        return JWTFrontend()
 
     def prepare(self, cred: dict) -> str:
         token = cred["cred"]
@@ -223,14 +257,14 @@ class ClientHelperService:
                 config = parse_config(open(self.paths.config).read())
                 issuer_pem = open(self.paths.issuer_pem).read()
                 pi, aux, _ = prepare_prover_inputs(config, token, issuer_pem)
-                # hashed-claim preimages for the stub frontend
+                # hashed-claim preimages (the circuit recomputes digests)
                 from ..credentials.prep_inputs import b64url_decode
 
                 claims = json.loads(b64url_decode(token.split(".")[1]))
                 for k, v in claims.items():
                     pi.setdefault(k, v if not isinstance(v, (dict, list)) else json.dumps(v))
                 cs = api.create_client_state(
-                    self.paths, pi, StubJWTFrontend(), prover_aux=json.dumps(aux)
+                    self.paths, pi, self.frontend, prover_aux=json.dumps(aux)
                 )
                 with self.lock:
                     self.creds[cred_uid] = {"status": "ready", "client_state": cs}
@@ -282,7 +316,7 @@ class ClientHelperService:
                     if not entry or entry.get("status") != "ready":
                         return self._send(404, {"error": "not ready"})
                     range_pk = api.read_from_file(svc.paths.range_pk)
-                    blob = _b64url_obj({"client_state": entry["client_state"], "range_pk": range_pk})
+                    blob = _showdata_b64url(entry["client_state"], range_pk)
                     return self._send(200, blob, "text/plain")
                 if self.route == "/show":
                     try:
@@ -316,7 +350,7 @@ class VerifierService:
         import urllib.request
 
         with urllib.request.urlopen(self.setup_url + "/verifier_params") as r:
-            return _obj_b64url(r.read().decode())
+            return _obj_b64url(r.read().decode(), api.VerifierParams)
 
     def verify(self, proof_b64: str, proof_spec_json: str, challenge: str) -> tuple[bool, str]:
         # session/challenge replay protection (main.rs:299)
@@ -325,7 +359,7 @@ class VerifierService:
                 return False, "challenge replay"
             self.sessions[challenge] = time.time()
         vp = self._verifier_params()
-        show_proof = _obj_b64url(proof_b64)
+        show_proof = _obj_b64url(proof_b64, api.ShowProof)
         spec = ProofSpec.from_json(proof_spec_json)
         return api.verify_show(vp, show_proof, spec)
 

@@ -13,7 +13,7 @@ import random
 import tempfile
 
 from crescent_tpu.credentials import api
-from crescent_tpu.credentials.circuits import StubJWTFrontend
+from crescent_tpu.credentials.circuits import JWTFrontend
 from crescent_tpu.credentials.device import TestDevice
 from crescent_tpu.credentials.ecdsa_pop import split_public_key_x
 from crescent_tpu.credentials.prep_inputs import (
@@ -27,12 +27,13 @@ from crescent_tpu.utils import jwt as jwtutil
 CONFIG = {
     "alg": "RS256",
     "device_bound": True,
+    "max_cred_len": 384,
     "exp": {"type": "number", "max_claim_byte_len": 31, "reveal": True},
     "email": {"type": "string", "reveal": True, "max_claim_byte_len": 31},
 }
 
 
-def test_end_to_end_rs256_db_stub():
+def test_end_to_end_rs256_db():
     rng = random.Random(314)
     dev = TestDevice(rng=rng)
     q0, q1 = split_public_key_x(dev.public[0])
@@ -55,7 +56,8 @@ def test_end_to_end_rs256_db_stub():
         )
 
         paths = api.CachePaths(base)
-        frontend = StubJWTFrontend()
+        # real statement (reference end_to_end_test_rs256_db, lib.rs:964)
+        frontend = JWTFrontend()
         api.run_zksetup(base, frontend, rng)
 
         config = parse_config(open(paths.config).read())

@@ -8,13 +8,14 @@ import random
 import tempfile
 
 from crescent_tpu.credentials import api
-from crescent_tpu.credentials.circuits import StubJWTFrontend
+from crescent_tpu.credentials.circuits import JWTFrontend
 from crescent_tpu.credentials.prep_inputs import ProofSpec, parse_config, prepare_prover_inputs
 from crescent_tpu.credentials.structs import IOLocations
 from crescent_tpu.utils import jwt as jwtutil
 
 CONFIG = {
     "alg": "RS256",
+    "max_cred_len": 256,
     "exp": {"type": "number", "max_claim_byte_len": 31, "reveal": True},
     "email": {
         "type": "string",
@@ -25,7 +26,7 @@ CONFIG = {
 }
 
 
-def test_end_to_end_rs256_stub():
+def test_end_to_end_rs256():
     rng = random.Random(2718)
     with tempfile.TemporaryDirectory() as base:
         with open(base + "/config.json", "w") as f:
@@ -39,7 +40,9 @@ def test_end_to_end_rs256_stub():
         )
 
         paths = api.CachePaths(base)
-        frontend = StubJWTFrontend()
+        # the REAL rs256 statement (SHA-256 + RSA-65537 + base64 + claim
+        # engine) — reference end_to_end_test_rs256, creds/src/lib.rs:964
+        frontend = JWTFrontend()
         # role 1: zksetup
         api.run_zksetup(base, frontend, rng)
         # role 2: holder prove

@@ -39,7 +39,7 @@ def test_end_to_end_mdl1():
     with tempfile.TemporaryDirectory() as base:
         with open(base + "/config.json", "w") as f:
             json.dump(CONFIG, f)
-        _issuer_prv, issuer_pub = generate_es256_issuer_keypair()
+        issuer_prv, issuer_pub = generate_es256_issuer_keypair()
         with open(base + "/issuer.pub", "w") as f:
             f.write(issuer_pub)
 
@@ -56,10 +56,12 @@ def test_end_to_end_mdl1():
             valid_until="2033-01-01",
             issuer_pem=issuer_pub,
             device_pub_pem=dev.public_pem(),
+            issuer_priv_pem=issuer_prv,
+            rng=rng,
         )
 
         paths = api.CachePaths(base)
-        frontend = MDLFrontend()
+        frontend = MDLFrontend(issuer_pub)
         api.run_zksetup(base, frontend, rng)
         cs = api.create_client_state(
             paths, prover_inputs, frontend, prover_aux=json.dumps(prover_aux),

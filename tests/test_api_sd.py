@@ -8,19 +8,20 @@ import random
 import tempfile
 
 from crescent_tpu.credentials import api
-from crescent_tpu.credentials.circuits import StubJWTFrontend
+from crescent_tpu.credentials.circuits import JWTFrontend
 from crescent_tpu.credentials.prep_inputs import ProofSpec, parse_config, prepare_prover_inputs
 from crescent_tpu.credentials.structs import IOLocations
 from crescent_tpu.utils import jwt as jwtutil
 
 SD_CONFIG = {
     "alg": "RS256",
+    "max_cred_len": 256,
     "exp": {"type": "number", "max_claim_byte_len": 31, "reveal": True},
     "family_name": {"type": "string", "reveal_digest": True, "max_claim_byte_len": 64},
 }
 
 
-def test_end_to_end_rs256_sd_stub():
+def test_end_to_end_rs256_sd():
     rng = random.Random(99)
     with tempfile.TemporaryDirectory() as base:
         with open(base + "/config.json", "w") as f:
@@ -33,7 +34,8 @@ def test_end_to_end_rs256_sd_stub():
             {"family_name": "Matthewson", "exp": exp, "iat": 1700000000}, priv
         )
         paths = api.CachePaths(base)
-        frontend = StubJWTFrontend()
+        # real statement (reference end_to_end_test_rs256_sd, lib.rs:964)
+        frontend = JWTFrontend()
         api.run_zksetup(base, frontend, rng)
 
         config = parse_config(open(paths.config).read())
@@ -41,7 +43,8 @@ def test_end_to_end_rs256_sd_stub():
         # the sd pipeline carries hashed-claim preimages in aux
         # (prepare_prover_aux fills them from the reveal_digest config)
         assert prover_aux == {"family_name": "Matthewson"}
-        # stub frontend needs the preimage among prover inputs to compute digests
+        # the frontend needs the preimage among prover inputs to compute the
+        # digest public IO (the circuit hashes the in-token claim bytes)
         prover_inputs["family_name"] = "Matthewson"
         cs = api.create_client_state(
             paths, prover_inputs, frontend, prover_aux=json.dumps(prover_aux), rng=rng

@@ -13,7 +13,7 @@ import urllib.request
 import pytest
 
 from crescent_tpu.credentials import api
-from crescent_tpu.credentials.circuits import StubJWTFrontend
+from crescent_tpu.credentials.circuits import JWTFrontend
 from crescent_tpu.sample import common, services
 from crescent_tpu.utils import jwt as jwtutil
 
@@ -39,6 +39,7 @@ def stack(tmp_path_factory):
         json.dump(
             {
                 "alg": "RS256",
+                "max_cred_len": 256,
                 "exp": {"type": "number", "max_claim_byte_len": 31, "reveal": True},
                 "email": {
                     "type": "string", "reveal": True,
@@ -52,7 +53,7 @@ def stack(tmp_path_factory):
         f.write(pub)
     with open(base + "/issuer.prv", "w") as f:
         f.write(priv)
-    api.run_zksetup(base, StubJWTFrontend(), rng)
+    api.run_zksetup(base, JWTFrontend(), rng)
     # port 0 = ephemeral: no bind conflicts across parallel/stale runs
     servers = services.run_all(
         base, {"issuer": 0, "setup": 0, "helper": 0, "verifier": 0}
