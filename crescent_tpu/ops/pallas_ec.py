@@ -1,27 +1,33 @@
-"""Fused limb-major EC point-add kernels in Pallas (TPU).
+"""Fused limb-major EC point kernels in Pallas (TPU).
 
 The XLA limb path (ops/limb.py + ops/ec.py) keeps field elements batch-major
 (..., 16) and materializes every intermediate of every Montgomery multiply in
-HBM — ~6-8 KB of traffic per element per multiply, ~40x the essential bytes
-(PERF.md "root cause").  These kernels flip the layout to limb-major
-(16, batch) tiles — limbs on sublanes, batch on the 128-wide lane axis — and
-fuse an entire Jacobian point operation (~18-26 Montgomery multiplies plus
-the complete-addition case analysis) into ONE Pallas kernel: inputs/outputs
-are the only HBM traffic (512 B/element for a mixed add), all intermediates
-live in VMEM/registers.
+HBM.  These kernels flip the layout to limb-major (16, batch) tiles — limbs
+on sublanes, batch on the 128-wide lane axis — and fuse whole point
+operations into ONE Pallas kernel: inputs/outputs are the only HBM traffic,
+all intermediates live in VMEM/registers.
 
-This is the TPU-native replacement for the reference's x86-asm field backend
-(forks/halo2curves derive/src/field/asm/limb4.rs) on the Pippenger hot path
+Field-op design (measured on TPU v5e, profile_montmul.py):
+
+* all intermediate shapes are sublane-aligned (16/32 rows); the earlier
+  33/17-row pad/concat formulation forced Mosaic relayouts (58M -> 71M
+  montmul/s just from alignment);
+* the two by-constant products of Montgomery REDC (m = t*N' mod R, s = m*N)
+  run on the MXU as byte-plane Toeplitz matmuls: inputs split to 8-bit
+  planes (exact in bf16), constant matrices carry byte_{k-i}(const), f32
+  accumulation of <= 32 terms < 2^16 stays < 2^22 (exact).  71M -> 83M
+  montmul/s, and it frees VPU issue slots for the surrounding point math;
+* only the variable*variable product x*y stays on the VPU (schoolbook with
+  slice-accumulate; a batched outer product has no MXU formulation).
+
+This replaces the reference's x86-asm field backend (forks/halo2curves
+derive/src/field/asm/limb4.rs) on the Pippenger hot path
 (forks/halo2curves/src/msm.rs:336-464); formulas match ops/ec.py
 (dbl-2007-bl / add-2007-bl / madd-2007-bl, complete via branchless selects)
 and are validated bit-exactly against it in tests/test_pallas_ec.py.
 
 Layout contract: a batch of field elements is (16, B) uint32, 16-bit limbs
-little-endian on the SUBLANE axis, B a multiple of the lane tile.  All
-arithmetic is u32 vector ops; partial products are split into lo/hi 16-bit
-planes (<= 16 terms of < 2^16 each, no overflow) and carries resolved with a
-Kogge-Stone sweep along sublanes — identical math to ops/limb.py, different
-axis.
+little-endian on the SUBLANE axis, B a multiple of the lane tile.
 """
 
 from __future__ import annotations
@@ -48,6 +54,19 @@ def _shift_up(a, s):
     return jnp.pad(a[: a.shape[0] - s], ((s, 0), (0, 0)))
 
 
+def _slice_add(acc, i, val):
+    """acc[i:i+rows] += val via static slices + concat (no scatter — Mosaic
+    TPU has no scatter-add lowering; static concat keeps rows aligned)."""
+    rows = val.shape[0]
+    parts = []
+    if i > 0:
+        parts.append(acc[:i])
+    parts.append(acc[i:i + rows] + val)
+    if i + rows < acc.shape[0]:
+        parts.append(acc[i + rows:])
+    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+
+
 def _ks_carry(v):
     """Kogge-Stone carry resolve for limbs v <= 2^17-1.
     Returns (digits < 2^16, carry-out (1, B))."""
@@ -63,79 +82,143 @@ def _ks_carry(v):
     return out, g[M - 1 : M]
 
 
-def _carry(acc, out_len):
-    """Normalize (M, B) accumulator limbs (< 2^31) to < 2^16, width out_len."""
-    M, B = acc.shape
+def _mul_acc32(x, y):
+    """Schoolbook product: (16,B) x (16,B) -> (32,B) limb accum (< 2^22).
+
+    Slice-accumulate keeps every shape at 16/32 aligned rows; the top hi
+    term lands on row 31 (i+j+1 <= 31), so 32 rows suffice exactly."""
+    Bn = x.shape[1]
+    acc = jnp.zeros((2 * L, Bn), U32)
+    for i in range(L):
+        p = x[i : i + 1] * y              # (16, B) exact u32 products
+        acc = _slice_add(acc, i, p & LIMB_MASK)
+        acc = _slice_add(acc, i + 1, p >> LIMB_BITS)
+    return acc
+
+
+def _carry32(acc):
+    """Normalize (M,B) accumulator (< 2^31) to 16-bit limbs.
+    Returns ((M,B) digits, (1,B) carry-out)."""
     d = acc & LIMB_MASK
     c = acc >> LIMB_BITS
-    z = jnp.zeros((1, B), U32)
-    v = jnp.concatenate([d, z], 0) + jnp.concatenate([z, c], 0)  # <= 2^17-1
-    out, _ = _ks_carry(v)
-    if out_len <= M + 1:
-        return out[:out_len]
-    return jnp.pad(out, ((0, out_len - M - 1), (0, 0)))
-
-
-def _mul_acc(x, y, out_len):
-    """Schoolbook product planes: (16,B) x (16,B) -> (out_len,B) limbs < 2^21.
-
-    Each row-product is shifted into place with a static pad and summed —
-    pure vector adds (jnp .at[].add lowers to scatter-add, which Mosaic TPU
-    has no lowering for).  Accumulates the full 2L width (<= 32 terms of
-    < 2^16 each, no u32 overflow), then truncates."""
-    B = x.shape[1]
-    width = 2 * L + 1
-    acc = jnp.zeros((width, B), U32)
-    for i in range(L):
-        p = x[i : i + 1] * y  # (L, B) exact u32 products
-        lo = jnp.pad(p & LIMB_MASK, ((i, width - L - i), (0, 0)))
-        hi = jnp.pad(p >> LIMB_BITS, ((i + 1, width - L - i - 1), (0, 0)))
-        acc = acc + lo + hi
-    return acc[:out_len]
+    v = _slice_add(d, 1, c[:-1])          # <= 2^17 - 1
+    out, ks = _ks_carry(v)
+    return out, c[-1:] + ks
 
 
 def _sub_raw(x, y):
     """x - y with borrow: ((M,B) limbs, (1,B) borrow). Two's-complement."""
     M, B = x.shape
     v = x + (LIMB_MASK - y)
-    # +1 at limb 0 (a scatter-free form: .at[].add captures constant
-    # scatter-index arrays, which Pallas kernels cannot close over)
-    v = v + jnp.pad(jnp.ones((1, B), U32), ((0, M - 1), (0, 0)))
+    v = _slice_add(v, 0, jnp.ones((1, B), U32))
     out, carry = _ks_carry(v)
     return out, 1 - carry
+
+
+def _to_byte_planes(x16):
+    """(16,B) 16-bit limbs -> (32,B) byte planes (byte 2i=lo_i, 2i+1=hi_i)."""
+    lo = x16 & 0xFF
+    hi = x16 >> 8
+    return jnp.concatenate([lo[:, None], hi[:, None]], axis=1).reshape(
+        32, x16.shape[1]
+    )
+
+
+def _carry_bytes(acc):
+    """(32,B) byte-significance accumulator (< 2^22) -> normalized bytes,
+    mod 2^256 (carries beyond byte 31 dropped)."""
+    d = acc & 0xFF
+    c = acc >> 8
+    v = _slice_add(d, 1, c[:-1])          # < 2^15
+    d2 = v & 0xFF
+    c2 = v >> 8
+    v2 = _slice_add(d2, 1, c2[:-1])       # < 2^8 + 2^7
+    g = v2 >> 8
+    p = ((v2 & 0xFF) == 0xFF).astype(U32)
+    s = 1
+    M = v2.shape[0]
+    while s < M:
+        g = g | (p & _shift_up(g, s))
+        p = p & _shift_up(p, s)
+        s *= 2
+    return (v2 + _shift_up(g, 1)) & 0xFF
+
+
+def build_toeplitz_bytes(const: int, nbytes_in: int, nbytes_out: int) -> np.ndarray:
+    """Byte-plane multiply-by-constant as a matmul: M[i,k] = byte_{k-i}(const).
+    x (bytes) @ M accumulates sum_{i+j=k} x_i * c_j — schoolbook product in
+    byte significance.  Entries < 2^8 are exact in bf16; <= 32 terms of
+    < 2^16 keep the f32 accumulator exact (< 2^22)."""
+    cb = [(const >> (8 * j)) & 0xFF for j in range(32)]
+    M = np.zeros((nbytes_in, nbytes_out), np.float32)
+    for i in range(nbytes_in):
+        for j in range(32):
+            if i + j < nbytes_out:
+                M[i, i + j] = cb[j]
+    return M
+
+
+def _matmul_bytes(xb, M):
+    """(32,B) byte planes x (32,Mout) constant -> (Mout,B) u32 accum (<2^22).
+    Contracts the byte axis on the MXU; bf16 inputs are exact for values
+    < 2^8 and the f32 accumulator is exact below 2^24."""
+    acc = jax.lax.dot_general(
+        M,
+        xb.astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16),
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return acc.astype(jnp.int32).astype(U32)
 
 
 class _F:
     """Field ops over (16, B) planes for one modulus.  Constants (modulus,
     -N^-1 mod R, R mod N) arrive as (16, 1) traced slices of the kernel's
-    consts operand — Pallas kernels cannot capture array constants."""
+    consts operand; the REDC Toeplitz matrices as (32,32)/(32,64) operands —
+    Pallas kernels cannot capture array constants."""
 
-    def __init__(self, n, ninv, one_mont):
+    def __init__(self, n, ninv, one_mont, m_ninv=None, m_n=None):
         self.n = n
         self.ninv = ninv
         self.one_mont = one_mont
+        self.m_ninv = m_ninv
+        self.m_n = m_n
 
-    def cond_sub(self, x17):
-        n17 = jnp.pad(jnp.broadcast_to(self.n, (L, x17.shape[1])), ((0, 1), (0, 0)))
-        diff, borrow = _sub_raw(x17, n17)
-        return jnp.where(borrow.astype(bool), x17, diff)[:L]
+    def _cond_sub_top(self, x16, xtop):
+        """Value X = x16 + xtop*2^256 < 2N -> X mod N as (16,B)."""
+        nb = jnp.broadcast_to(self.n, x16.shape)
+        diff, borrow = _sub_raw(x16, nb)
+        use_diff = (borrow - xtop) == 0      # x16>=N, or the top bit covers it
+        return jnp.where(use_diff, diff, x16)
+
+    def mont_reduce(self, t):
+        """(32,B) t (16-bit limbs, t < N*R) -> t*R^-1 mod N."""
+        if self.m_ninv is not None:
+            tb = _to_byte_planes(t[:L])
+            mb = _carry_bytes(_matmul_bytes(tb, self.m_ninv))   # bytes of m
+            s_acc = _matmul_bytes(mb, self.m_n)                  # (64,B) bytes
+            v = s_acc.reshape(32, 2, -1)
+            s = v[:, 0] + (v[:, 1] << 8)                         # (32,B) < 2^30
+        else:
+            m, _ = _carry32(_mul_acc32(t[:L], jnp.broadcast_to(self.ninv, (L, t.shape[1]))))
+            s = _mul_acc32(m[:L], jnp.broadcast_to(self.n, (L, t.shape[1])))
+        out, top = _carry32(t + s)           # low L limbs == 0 by construction
+        return self._cond_sub_top(out[L:], top)
 
     def mont_mul(self, x, y):
-        t = _carry(_mul_acc(x, y, 2 * L), 2 * L)
-        m = _carry(_mul_acc(t[:L], jnp.broadcast_to(self.ninv, x.shape), L), L)
-        s = _mul_acc(m, jnp.broadcast_to(self.n, x.shape), 2 * L)  # < 2^21
-        u = _carry(t + s, 2 * L + 1)  # t+s < 2^22
-        return self.cond_sub(u[L : 2 * L + 1])
+        t, _ = _carry32(_mul_acc32(x, y))    # carry-out of full product is 0
+        return self.mont_reduce(t)
 
     def sqr(self, x):
         return self.mont_mul(x, x)
 
     def add(self, x, y):
-        return self.cond_sub(_carry(x + y, L + 1))
+        out, top = _carry32(x + y)
+        return self._cond_sub_top(out, top)
 
     def sub(self, x, y):
         diff, borrow = _sub_raw(x, y)
-        plus = _carry(diff + jnp.broadcast_to(self.n, x.shape), L)
+        plus, _ = _carry32(diff + jnp.broadcast_to(self.n, x.shape))
         return jnp.where(borrow.astype(bool), plus, diff)
 
     def neg(self, x):
@@ -262,9 +345,9 @@ def _use_interpret() -> bool:
 class PallasEC:
     """Fused limb-major point ops for one prime-field curve.
 
-    Arrays are (16, N) uint32 Montgomery-form planes, N a multiple of
-    `block`.  `madd`: mixed add with per-lane valid/sign flags.  `jadd`:
-    complete Jacobian add.
+    Arrays are (16, N) uint32 Montgomery-form planes, N padded internally to
+    a multiple of `block`.  `madd`: mixed add with per-lane valid/sign flags.
+    `jadd`: complete Jacobian add.
     """
 
     def __init__(self, modulus: int, a_host: int, block: int = 512):
@@ -276,58 +359,66 @@ class PallasEC:
         # Built in numpy, NOT jnp: get_pallas_ec is lru-cached and may first
         # fire inside a jit trace, where jnp ops return tracers that would be
         # cached and leak into later traces (UnexpectedTracerError).
+        ninv_int = (-pow(modulus, -1, R)) % R
         self.consts = np.stack(
             [
                 np.asarray(limb_mod.int_to_limbs(modulus), dtype=np.uint32),
-                np.asarray(limb_mod.int_to_limbs((-pow(modulus, -1, R)) % R), dtype=np.uint32),
+                np.asarray(limb_mod.int_to_limbs(ninv_int), dtype=np.uint32),
                 np.asarray(limb_mod.int_to_limbs(R % modulus), dtype=np.uint32),
                 np.asarray(limb_mod.int_to_limbs(a_host * R % modulus), dtype=np.uint32),
             ],
             axis=1,
         )  # (16, 4)
-        self._madd_call = {}
-        self._jadd_call = {}
+        self.m_ninv = build_toeplitz_bytes(ninv_int, 32, 32)
+        self.m_n = build_toeplitz_bytes(modulus, 32, 64)
+        self._calls = {}
+
+    def _field(self, consts_ref, mninv_ref, mn_ref):
+        cc = consts_ref[:]
+        return _F(cc[:, 0:1], cc[:, 1:2], cc[:, 2:3], mninv_ref[:], mn_ref[:]), cc[:, 3:4]
 
     # -- kernels ------------------------------------------------------------
-    def _madd_kernel(self, consts, x1, y1, z1, qx, qy, flags, ox, oy, oz):
-        cc = consts[:]
-        f = _F(cc[:, 0:1], cc[:, 1:2], cc[:, 2:3])
+    def _madd_kernel(self, consts, mninv, mn, x1, y1, z1, qx, qy, flags, ox, oy, oz):
+        f, a_mont = self._field(consts, mninv, mn)
         valid = flags[0:1] != 0
         sign = flags[1:2] != 0
         x, y, z = _madd_body(
-            f, cc[:, 3:4], self.a_is_zero,
+            f, a_mont, self.a_is_zero,
             x1[:], y1[:], z1[:], qx[:], qy[:], valid, sign,
         )
         ox[:], oy[:], oz[:] = x, y, z
 
-    def _jadd_kernel(self, consts, x1, y1, z1, x2, y2, z2, ox, oy, oz):
-        cc = consts[:]
-        f = _F(cc[:, 0:1], cc[:, 1:2], cc[:, 2:3])
+    def _jadd_kernel(self, consts, mninv, mn, x1, y1, z1, x2, y2, z2, ox, oy, oz):
+        f, a_mont = self._field(consts, mninv, mn)
         x, y, z = _jadd_body(
-            f, cc[:, 3:4], self.a_is_zero,
+            f, a_mont, self.a_is_zero,
             x1[:], y1[:], z1[:], x2[:], y2[:], z2[:],
         )
         ox[:], oy[:], oz[:] = x, y, z
 
-    def _get_call(self, cache, kernel, n_elem, n_in, flag_rows=0):
+    def _get_call(self, kind, kernel, n_elem, n_in, flag_rows=0, n_out=3):
         bt = min(self.block, n_elem)
         assert n_elem % bt == 0, (n_elem, bt)
-        key = n_elem
-        if key not in cache:
+        key = (kind, n_elem)
+        if key not in self._calls:
             eb = pl.BlockSpec((L, bt), lambda i: (0, i))
-            specs = [pl.BlockSpec((L, 4), lambda i: (0, 0))] + [eb] * n_in
+            specs = [
+                pl.BlockSpec((L, 4), lambda i: (0, 0)),
+                pl.BlockSpec((32, 32), lambda i: (0, 0)),
+                pl.BlockSpec((32, 64), lambda i: (0, 0)),
+            ] + [eb] * n_in
             if flag_rows:
                 specs.append(pl.BlockSpec((flag_rows, bt), lambda i: (0, i)))
             out_shape = jax.ShapeDtypeStruct((L, n_elem), U32)
-            cache[key] = pl.pallas_call(
+            self._calls[key] = pl.pallas_call(
                 kernel,
                 grid=(n_elem // bt,),
                 in_specs=specs,
-                out_specs=[eb, eb, eb],
-                out_shape=[out_shape] * 3,
+                out_specs=[eb] * n_out,
+                out_shape=[out_shape] * n_out,
                 interpret=_use_interpret(),
             )
-        return cache[key]
+        return self._calls[key]
 
     # -- public ops ---------------------------------------------------------
     @staticmethod
@@ -345,8 +436,8 @@ class PallasEC:
         npad = -n % self.block + n
         flags = jnp.stack([valid.astype(U32), sign.astype(U32)], axis=0)
         x1, y1, z1, qx, qy, flags = self._pad([x1, y1, z1, qx, qy, flags], n, npad)
-        call = self._get_call(self._madd_call, self._madd_kernel, npad, 5, flag_rows=2)
-        ox, oy, oz = call(self.consts, x1, y1, z1, qx, qy, flags)
+        call = self._get_call("madd", self._madd_kernel, npad, 5, flag_rows=2)
+        ox, oy, oz = call(self.consts, self.m_ninv, self.m_n, x1, y1, z1, qx, qy, flags)
         return ox[:, :n], oy[:, :n], oz[:, :n]
 
     def jadd(self, x1, y1, z1, x2, y2, z2):
@@ -355,8 +446,8 @@ class PallasEC:
         n = x1.shape[1]
         npad = -n % self.block + n
         ins = self._pad([x1, y1, z1, x2, y2, z2], n, npad)
-        call = self._get_call(self._jadd_call, self._jadd_kernel, npad, 6)
-        ox, oy, oz = call(self.consts, *ins)
+        call = self._get_call("jadd", self._jadd_kernel, npad, 6)
+        ox, oy, oz = call(self.consts, self.m_ninv, self.m_n, *ins)
         return ox[:, :n], oy[:, :n], oz[:, :n]
 
 
