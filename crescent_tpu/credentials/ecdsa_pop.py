@@ -37,7 +37,7 @@ from dataclasses import dataclass
 
 from ..core.curves import P256
 from ..core.fields import BN254_FR, P256_FP, P256_FQ, T256_FQ
-from ..core.poseidon import Poseidon, get_poseidon
+from ..core.poseidon import Poseidon, get_poseidon, io_pattern_value, safe_hash
 from ..models import spartan as sp
 from ..r1cs.builder import LC, ConstraintSystem, Var
 from ..utils.merlin import Transcript
@@ -61,10 +61,12 @@ def split_public_key_x(pubkey_x: int) -> tuple[int, int]:
 
 
 def compute_hQ(q0: int, q1: int, z: int) -> bytes:
-    """h_Q = Poseidon(q0, q1, z) over P-256's base field (lib.rs:308),
+    """h_Q = Poseidon(q0, q1, z) over P-256's base field via the neptune
+    SAFE sponge with IOPattern [Absorb(3), Squeeze(1)] over a width-3 (U2)
+    permutation (ecdsa-pop/src/lib.rs:308-320, src/poseidon.rs:71-100),
     serialized little-endian (32 bytes)."""
-    pos = get_poseidon(P256_FP, 4)  # arity 3
-    h = pos.hash([q0 % P256_FP, q1 % P256_FP, z % P256_FP])
+    pos = get_poseidon(P256_FP, 3)  # U2 arity: width 3, rate 2
+    h = safe_hash(pos, [q0 % P256_FP, q1 % P256_FP, z % P256_FP])
     return int(h).to_bytes(32, "little")
 
 
@@ -246,12 +248,12 @@ def ec_scalar_mul(cs: ConstraintSystem, T: _Pt, s: Var, num_bits: int = 256) -> 
 
 
 def poseidon_hash_gadget(cs: ConstraintSystem, inputs: list, pos: Poseidon) -> Var:
-    """In-circuit Poseidon sponge: state [0, inputs...], one permutation,
-    output element 1 (matches Poseidon.hash)."""
-    assert len(inputs) == pos.t - 1
-    state = [LC.of(0)] + [LC.of(x) for x in inputs]
-    rc = iter(pos.round_constants)
-    half = pos.r_f // 2
+    """In-circuit SAFE-sponge Poseidon hash with IOPattern
+    [Absorb(len(inputs)), Squeeze(1)] — matches core.poseidon.safe_hash and
+    the reference's SpongeCircuit usage (ecdsa-pop/src/poseidon.rs:165-210).
+    Each permutation consumes the full round-constant schedule from the
+    start (neptune resets constants_offset per hash)."""
+    rate = pos.t - 1
 
     def sbox(x_lc):
         x2 = cs.mul(x_lc, x_lc)
@@ -264,22 +266,38 @@ def poseidon_hash_gadget(cs: ConstraintSystem, inputs: list, pos: Poseidon) -> V
             for i in range(pos.t)
         ]
 
-    def full_round(st):
-        st = [x + LC.of(next(rc)) for x in st]
-        st = [LC.of(sbox(x)) for x in st]
-        return mix(st)
+    def permute(st):
+        rc = iter(pos.round_constants)
+        half = pos.r_f // 2
 
-    def partial_round(st):
-        st = [x + LC.of(next(rc)) for x in st]
-        st = [LC.of(sbox(st[0]))] + st[1:]
-        return mix(st)
+        def full_round(st):
+            st = [x + LC.of(next(rc)) for x in st]
+            st = [LC.of(sbox(x)) for x in st]
+            return mix(st)
 
-    for _ in range(half):
-        state = full_round(state)
-    for _ in range(pos.r_p):
-        state = partial_round(state)
-    for _ in range(half):
-        state = full_round(state)
+        def partial_round(st):
+            st = [x + LC.of(next(rc)) for x in st]
+            st = [LC.of(sbox(st[0]))] + st[1:]
+            return mix(st)
+
+        for _ in range(half):
+            st = full_round(st)
+        for _ in range(pos.r_p):
+            st = partial_round(st)
+        for _ in range(half):
+            st = full_round(st)
+        return st
+
+    tag = io_pattern_value([("absorb", len(inputs)), ("squeeze", 1)])
+    state = [LC.of(tag % pos.p)] + [LC() for _ in range(rate)]
+    apos = 0
+    for x in inputs:
+        if apos == rate:
+            state = permute(state)
+            apos = 0
+        state[1 + apos] = state[1 + apos] + LC.of(x)
+        apos += 1
+    state = permute(state)  # absorb -> squeeze turn
     return cs.add_const_mul(state[1])
 
 
@@ -403,7 +421,7 @@ def synthesize_ecdsa_circuit(
     z_var = cs.alloc(zv % F)
 
     # 1. hQ == Poseidon(q0, q1, z)
-    pos = get_poseidon(P256_FP, 4)
+    pos = get_poseidon(P256_FP, 3)
     hQ_prime = poseidon_hash_gadget(cs, [q0_var, q1_var, z_var], pos)
     cs.assert_equal(hQv, hQ_prime)
 
