@@ -110,6 +110,10 @@ def scalar_digits_signed(scalars: jax.Array, c: int) -> tuple[jax.Array, jax.Arr
     return jnp.stack(digs, axis=-1), jnp.stack(signs, axis=-1)
 
 
+# eager per-bit extraction is ~270 dispatches for generic c; always jit it
+digits_signed_jit = jax.jit(scalar_digits_signed, static_argnums=1)
+
+
 def _accumulate_buckets(ctx: CurveCtx, px, py, pvalid, digits, signs, c: int, lanes: int) -> JPoints:
     """Pippenger phases 1-2: accumulate points into per-window buckets and
     fold lanes.  digits/signs from `scalar_digits_signed` (balanced
@@ -306,19 +310,42 @@ def _small_msm_impl(ctx: CurveCtx, px, py, pvalid, k_limbs) -> JPoints:
 class MSM:
     """MSM executor for one curve context; jit-cached per shape bucket.
 
-    `lanes` caps phase-1 parallelism; the actual lane count adapts to
+    Large prime-field MSMs on TPU route to the sorted-segment batched-affine
+    accumulator (ops/msm_affine.py, ~7 muls per entry); the scan-based
+    Pippenger below remains for G2 (Fq2), CPU runs, and as the
+    CRESCENT_MSM_AFFINE=0 fallback.
+
+    `lanes` caps scan-phase-1 parallelism; the actual lane count adapts to
     N/2^c so the lane-fold (L*W*2^c point-adds) never dominates the
     accumulation work (N*W adds).
     """
 
-    def __init__(self, curve, c: int = 8, lanes: int = 256, small_cutoff: int = 1024):
+    def __init__(self, curve, c: int = 8, lanes: int = 256, small_cutoff: int = 1024,
+                 affine_c: int = 11):
         self.ctx = curve if isinstance(curve, CurveCtx) else get_curve_ctx(curve)
         self.c = c
         self.lanes = lanes
         self.small_cutoff = small_cutoff
+        self.affine_c = affine_c
         self._impls: dict = {}
+        self._affine = None
         self._small = jax.jit(functools.partial(_small_msm_impl, self.ctx))
         self._small_many = jax.jit(jax.vmap(functools.partial(_small_msm_impl, self.ctx)))
+
+    def _affine_msm(self):
+        """AffineMSM instance if the segmented-affine path applies, else None."""
+        import os
+
+        if os.environ.get("CRESCENT_MSM_AFFINE", "1") == "0":
+            return None
+        pec = _pallas_for(self.ctx)
+        if pec is None:
+            return None
+        if self._affine is None:
+            from .msm_affine import AffineMSM
+
+            self._affine = AffineMSM(self.ctx, pec, c=self.affine_c)
+        return self._affine
 
     def _lanes_for(self, n: int) -> int:
         return max(1, min(self.lanes, n >> self.c))
@@ -353,7 +380,10 @@ class MSM:
         px, py, pvalid, scalars = self._pad_to(npad, px, py, pvalid, scalars)
         if npad <= self.small_cutoff:
             return self._small(px, py, pvalid, scalars)
-        digits, signs = scalar_digits_signed(scalars, self.c)
+        am = self._affine_msm()
+        if am is not None:
+            return am.run(px, py, pvalid, scalars)
+        digits, signs = digits_signed_jit(scalars, self.c)
         return self._get_impl(self._lanes_for(npad), many=False)(px, py, pvalid, digits, signs)
 
     def run_device_many(self, problems) -> JPoints:
@@ -367,8 +397,13 @@ class MSM:
         stack = [jnp.stack(arrs) for arrs in zip(*padded)]
         if npad <= self.small_cutoff:
             return self._small_many(*stack)
+        am = self._affine_msm()
+        if am is not None:
+            # host-loop rounds don't vmap; run sequentially (few big problems)
+            outs = [self.run_device(*p) for p in padded]
+            return JPoints(*(jnp.stack(a) for a in zip(*outs)))
         pxs, pys, vals, scs = stack
-        digs, sgns = scalar_digits_signed(scs.reshape((-1,) + scs.shape[2:]), self.c)
+        digs, sgns = digits_signed_jit(scs.reshape((-1,) + scs.shape[2:]), self.c)
         digs = digs.reshape(scs.shape[0], npad, -1)
         sgns = sgns.reshape(scs.shape[0], npad, -1)
         return self._get_impl(self._lanes_for(npad), many=True)(pxs, pys, vals, digs, sgns)

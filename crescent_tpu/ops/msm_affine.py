@@ -1,0 +1,274 @@
+"""Sorted-segment batched-affine Pippenger MSM (TPU) — single-dispatch.
+
+The scan-based accumulator in ops/msm.py pays ~52 Montgomery muls per point
+(26 for the complete Jacobian mixed add — half of them for the always-taken
+doubling branch — and another 26 in the lane fold), plus a bucket
+gather/scatter every scan step.  This module replaces the whole pipeline
+with the structure recent MSM accelerators use (cf. if-ZKP / SZKP bucket
+schedulers) re-shaped for SIMD, and compiles the ENTIRE MSM into ONE jitted
+program — profiling of the first (host-looped) version showed per-round
+host round-trips through the TPU tunnel (survivor-count pulls, termination
+checks, host root inversions) costing more than the field work itself.
+
+Pipeline (all device-side, zero host syncs):
+
+  1. signed window digits (N, W) -> flat entries keyed by (window, bucket);
+     invalid/zero-digit entries key to a sentinel;
+  2. ONE argsort groups same-bucket entries into contiguous segments
+     (0.7 ms for 2M keys on a v5e — measured);
+  3. ceil(log4(M)) rounds of 4-ary segmented reduction: each round gathers
+     rank-quads of same-key entries, runs TWO levels of batched affine pair
+     addition (one shared Montgomery product-tree inversion per level, with
+     the root block inverted ON DEVICE by a Fermat kernel that loops over
+     the exponent bits in-VMEM), and compacts survivors with a cumsum +
+     column scatter.  Array sizes follow a static worst-case schedule
+     (survivors <= m/4 + 3/4 * #segments), so no data-dependent shapes;
+  4. survivors scatter into a dense (W, B) bucket table; per-window suffix
+     sums run as shift-add rounds of the fused Jacobian-add kernel, bucket
+     weighting as a log tree, and windows combine by a doubling tree whose
+     doubling chains run inside one kernel (fori_loop over 2^j * c steps).
+
+Field work ~= 7 muls per consumed entry vs ~52 for the scan path.
+
+Reference equivalent: forks/halo2curves/src/msm.rs:336-464 (serial CPU
+Pippenger; the affine-pair rounds replace its per-bucket running adds).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import limb
+from .ec import CurveCtx, JPoints
+from .limb import LIMB_BITS, NLIMB, U32
+from .pallas_ec import PallasEC
+
+I32 = jnp.int32
+
+
+def _cummax(x):
+    return jax.lax.associative_scan(jnp.maximum, x)
+
+
+def quantize(n: int, floor: int = 512) -> int:
+    """Round up into the quarter-power-of-two family {2^k * (4+i)/4}.
+    Halving a family member stays in the family, so the product-tree levels
+    inside every round reuse the same compiled kernel shapes."""
+    n = max(int(n), 1)
+    if n <= floor:
+        return floor
+    q = 1 << max(int(n - 1).bit_length() - 2, 0)
+    return -(-n // q) * q
+
+
+class AffineMSM:
+    """Segmented-affine MSM executor for one prime-field curve context.
+
+    One jitted program per (padded) input size; everything device-side."""
+
+    def __init__(self, ctx: CurveCtx, pec: PallasEC, c: int = 11,
+                 min_bucket: int = 512):
+        self.ctx = ctx
+        self.pec = pec
+        self.c = c
+        self.min_bucket = min_bucket
+        self.B = (1 << (c - 1)) + 1          # signed digits: |d| <= 2^(c-1)
+        nbits = NLIMB * LIMB_BITS
+        self.W = (nbits + c - 1) // c + 1    # +1 carry window
+        self.sentinel = self.W * self.B
+        self.mod = ctx.fctx.modulus
+        self._msm = {}
+
+    # -- batch inversion (device Fermat root) ---------------------------------
+    def _batch_inv(self, d):
+        """Montgomery product-tree inversion of (16, n) nonzero values:
+        ~3 muls per element + one Fermat kernel on the <=512-wide root."""
+        levels = [d]
+        while levels[-1].shape[1] > 512:
+            cur = levels[-1]
+            assert cur.shape[1] % 2 == 0, cur.shape
+            levels.append(self.pec.mul(cur[:, 0::2], cur[:, 1::2]))
+        inv = self.pec.inv(levels[-1])
+        for cur in levels[-2::-1]:
+            le, ro = cur[:, 0::2], cur[:, 1::2]
+            inv = jnp.stack(
+                [self.pec.mul(inv, ro), self.pec.mul(inv, le)], axis=2
+            ).reshape(NLIMB, cur.shape[1])
+        return inv
+
+    # -- one 4-ary reduction round --------------------------------------------
+    def _round(self, keys, ex, ey, ev, mn: int):
+        """Keys sorted; quad j of its segment reduces to survivor j.  The
+        quad->survivor compaction is GATHER-based: a stable argsort of ~head
+        lists the quad-head positions first and in order, so survivor j's
+        source index is argsort(~head)[j] — XLA scatters of (16, m) columns
+        are serial-ish on TPU and dominated the first version of this round,
+        and vectorized searchsorted's while-loop (binary search + loop-carried
+        copies) dominated the second."""
+        m = keys.shape[0]
+        i = jnp.arange(m, dtype=I32)
+        seg_start = jnp.concatenate([jnp.ones(1, bool), keys[1:] != keys[:-1]])
+        rank = i - _cummax(jnp.where(seg_start, i, 0))
+        head = (rank & 3) == 0
+        hp = jnp.argsort(jnp.where(head, 0, 1).astype(jnp.uint8),
+                         stable=True)[:mn].astype(I32)
+        in_r = head[hp]
+        hpc = hp
+        kh = keys[hpc]
+        nkeys = jnp.where(in_r, kh, jnp.uint32(self.sentinel))
+        parts = []
+        for t in range(4):
+            pos = jnp.minimum(hpc + t, m - 1)
+            ok = in_r & (hpc + t < m) & (keys[pos] == kh)
+            parts.append((
+                ex[:, pos],
+                ey[:, pos],
+                ((ev[pos] != 0) & ok).astype(U32),
+            ))
+
+        # level 1: (e0 + e1) and (e2 + e3) in one double-width batch
+        lx = jnp.concatenate([parts[0][0], parts[2][0]], axis=1)
+        ly = jnp.concatenate([parts[0][1], parts[2][1]], axis=1)
+        lv = jnp.concatenate([parts[0][2], parts[2][2]])
+        rx = jnp.concatenate([parts[1][0], parts[3][0]], axis=1)
+        ry = jnp.concatenate([parts[1][1], parts[3][1]], axis=1)
+        rv = jnp.concatenate([parts[1][2], parts[3][2]])
+        d = self.pec.affine_denom(lx, ly, lv, rx, ry, rv)
+        sx, sy, sv = self.pec.affine_add(lx, ly, lv, rx, ry, rv, self._batch_inv(d))
+
+        # level 2: s01 + s23
+        ax, bx = sx[:, :mn], sx[:, mn:]
+        ay, by = sy[:, :mn], sy[:, mn:]
+        av, bv = sv[:mn], sv[mn:]
+        d2 = self.pec.affine_denom(ax, ay, av, bx, by, bv)
+        nx, ny, nv = self.pec.affine_add(ax, ay, av, bx, by, bv, self._batch_inv(d2))
+        return nkeys, nx, ny, nv.astype(U32)
+
+    # -- bucket aggregation -----------------------------------------------------
+    def _aggregate(self, keys, ex, ey, ev):
+        """Dense (W, B) table -> suffix sums -> bucket weighting -> window
+        combine.  Returns one Jacobian point as (16,) planes x3."""
+        W, B, c = self.W, self.B, self.c
+        pec = self.pec
+        WB = W * B
+        idx = jnp.where(ev != 0, keys.astype(I32), jnp.int32(WB))
+        dx = jnp.zeros((NLIMB, WB), U32).at[:, idx].set(ex, mode="drop")
+        dy = jnp.zeros((NLIMB, WB), U32).at[:, idx].set(ey, mode="drop")
+        dv = jnp.zeros((1, WB), U32).at[:, idx].set(ev[None, :], mode="drop")[0]
+        one = jnp.asarray(
+            self.ctx.fctx.to_mont_host([self.ctx.fctx.host_one])[0]
+        ).astype(U32)
+        dz = jnp.where(dv[None, :] != 0, one[:, None], jnp.uint32(0))
+
+        # per-window suffix sums: running_b = sum_{b'>=b} S_b' (shift-add)
+        x3 = lambda a: a.reshape(NLIMB, W, B)
+        rx_, ry_, rz_ = dx, dy, dz
+        j = 1
+        while j < B:
+            def shift(a):
+                a = x3(a)
+                a = jnp.concatenate(
+                    [a[:, :, j:], jnp.zeros((NLIMB, W, j), U32)], axis=2
+                )
+                return a.reshape(NLIMB, WB)
+            rx_, ry_, rz_ = pec.jadd(rx_, ry_, rz_, shift(rx_), shift(ry_), shift(rz_))
+            j *= 2
+
+        # acc_w = sum_{d=1}^{B-1} running_d  (B-1 = 2^(c-1) is a power of two)
+        ax = x3(rx_)[:, :, 1:]
+        ay = x3(ry_)[:, :, 1:]
+        az = x3(rz_)[:, :, 1:]
+        n = B - 1
+        while n > 1:
+            h = n // 2
+            ax, ay, az = pec.jadd(
+                ax[:, :, :h].reshape(NLIMB, W * h),
+                ay[:, :, :h].reshape(NLIMB, W * h),
+                az[:, :, :h].reshape(NLIMB, W * h),
+                ax[:, :, h:].reshape(NLIMB, W * h),
+                ay[:, :, h:].reshape(NLIMB, W * h),
+                az[:, :, h:].reshape(NLIMB, W * h),
+            )
+            ax, ay, az = (a.reshape(NLIMB, W, h) for a in (ax, ay, az))
+            n = h
+
+        # window combine: result = sum_w acc_w * 2^(c*w) by a doubling tree:
+        # level j pairs (2t, 2t+1) with the odd half doubled c*2^j times
+        # (identity-padded up to a power of two).
+        Wp = 1 << (W - 1).bit_length()
+        ax = jnp.pad(ax.reshape(NLIMB, W), ((0, 0), (0, Wp - W)))
+        ay = jnp.pad(ay.reshape(NLIMB, W), ((0, 0), (0, Wp - W)))
+        az = jnp.pad(az.reshape(NLIMB, W), ((0, 0), (0, Wp - W)))
+        shift = c
+        while Wp > 1:
+            h = Wp // 2
+            hx, hy, hz = pec.jdbl_n(
+                ax[:, 1::2], ay[:, 1::2], az[:, 1::2], count=shift
+            )
+            ax, ay, az = pec.jadd(ax[:, 0::2], ay[:, 0::2], az[:, 0::2], hx, hy, hz)
+            shift *= 2
+            Wp = h
+        return ax[:, 0], ay[:, 0], az[:, 0]
+
+    # -- full program -----------------------------------------------------------
+    def _get_msm(self, n: int):
+        if n not in self._msm:
+            W, B, sentinel = self.W, self.B, self.sentinel
+            ctx = self.ctx
+            m0 = n * W
+            # static size schedule: survivors <= m/4 + 3/4 * (#segments + 1)
+            slack = (3 * (W * B + 2)) // 4 + 64
+            rounds = []
+            m = m0
+            r = 0
+            max_seg = m0
+            while max_seg > 1:
+                # clamp: the gather-compaction slices argsort(~head)[:mn],
+                # so a round may not grow (tiny-N worst-case schedules)
+                m = min(quantize(m // 4 + slack, self.min_bucket), m)
+                rounds.append(m)
+                max_seg = -(-max_seg // 4)
+
+            @jax.jit
+            def msm(px, py, pvalid, scalars):
+                # digit recoding INSIDE the program: the generic-c bit
+                # extraction is ~270 tiny ops — eager dispatch of those
+                # over the device tunnel cost 2x the whole MSM.
+                from .msm import scalar_digits_signed
+
+                digits, signs = scalar_digits_signed(scalars, self.c)
+                ney = ctx.fctx.neg_mod(py)
+                keys = jnp.where(
+                    (digits != 0) & (pvalid[:, None] != 0),
+                    jnp.arange(W, dtype=U32)[None, :] * B + digits,
+                    jnp.uint32(sentinel),
+                ).reshape(-1)
+                perm = jnp.argsort(keys)
+                skeys = keys[perm]
+                pt = (perm // W).astype(I32)
+                sgn = signs.reshape(-1)[perm]
+                ex = px.T[:, pt]
+                ey = jnp.where(sgn[None, :] != 0, ney.T[:, pt], py.T[:, pt])
+                ev = (skeys != sentinel).astype(U32)
+                for mn in rounds:
+                    skeys, ex, ey, ev = self._round(skeys, ex, ey, ev, mn)
+                return self._aggregate(skeys, ex, ey, ev)
+
+            self._msm[n] = msm
+        return self._msm[n]
+
+    def run(self, px, py, pvalid, scalars) -> JPoints:
+        """px/py: (N, 16) Montgomery affine; pvalid: (N,) 0/1; scalars:
+        (N, 16) standard-form limbs.  Returns one Jacobian point."""
+        n = px.shape[0]
+        nq = quantize(n, self.min_bucket)
+        if nq != n:
+            pad = [(0, nq - n)]
+            px = jnp.pad(px, pad + [(0, 0)])
+            py = jnp.pad(py, pad + [(0, 0)])
+            pvalid = jnp.pad(pvalid, pad)
+            scalars = jnp.pad(scalars, pad + [(0, 0)])
+        x, y, z = self._get_msm(nq)(px, py, pvalid, scalars)
+        return JPoints(x, y, z)

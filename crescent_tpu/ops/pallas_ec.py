@@ -335,6 +335,51 @@ def _jadd_body(f: _F, a_mont, a_is_zero, X1, Y1, Z1, X2, Y2, Z2):
 
 
 # ---------------------------------------------------------------------------
+# Affine pair formulas (for the sorted-segment MSM accumulator, ops/msm_affine)
+# ---------------------------------------------------------------------------
+
+def _affine_denom_body(f: _F, lx, ly, lv, rx, ry, rv):
+    """Denominator of the affine addition L + R for batch inversion:
+    2*ly when L == R (doubling), 1 when the pair needs no division
+    (either side invalid, or L == -R giving infinity), else rx - lx."""
+    both = lv & rv
+    same_x = f.is_zero(f.sub(rx, lx))
+    same_y = f.is_zero(f.sub(ry, ly))
+    one = jnp.broadcast_to(f.one_mont, lx.shape)
+    d = f.sel(same_x & same_y, f.dbl(ly), f.sub(rx, lx))
+    d = f.sel(both & ~(same_x & ~same_y), d, one)
+    return d
+
+
+def _affine_add_body(f: _F, a_mont, a_is_zero, lx, ly, lv, rx, ry, rv, inv):
+    """Affine L + R given inv = 1/denominator (Montgomery form).
+
+    Returns (x3, y3, valid3).  Cases: both valid & L==R -> double
+    (lambda = (3*lx^2 + a) * inv, inv = 1/(2*ly)); both valid & L==-R ->
+    infinity (valid 0); both valid else -> chord add; one valid ->
+    passthrough; none -> invalid."""
+    both = lv & rv
+    same_x = f.is_zero(f.sub(rx, lx))
+    same_y = f.is_zero(f.sub(ry, ly))
+    dbl_case = same_x & same_y
+    inf_case = same_x & ~same_y
+
+    xx = f.sqr(lx)
+    num_dbl = f.add(f.add(xx, xx), xx)
+    if not a_is_zero:
+        num_dbl = f.add(num_dbl, jnp.broadcast_to(a_mont, xx.shape))
+    num = f.sel(dbl_case, num_dbl, f.sub(ry, ly))
+    lam = f.mont_mul(num, inv)
+    x3 = f.sub(f.sub(f.sqr(lam), lx), rx)
+    y3 = f.sub(f.mont_mul(lam, f.sub(lx, x3)), ly)
+
+    x = f.sel(both, x3, f.sel(lv, lx, rx))
+    y = f.sel(both, y3, f.sel(lv, ly, ry))
+    v = (lv | rv) & ~(both & inf_case)
+    return x, y, v
+
+
+# ---------------------------------------------------------------------------
 # Pallas kernels + host-callable wrappers
 # ---------------------------------------------------------------------------
 
@@ -396,7 +441,55 @@ class PallasEC:
         )
         ox[:], oy[:], oz[:] = x, y, z
 
-    def _get_call(self, kind, kernel, n_elem, n_in, flag_rows=0, n_out=3):
+    def _mul_kernel(self, consts, mninv, mn, x, y, o):
+        f, _ = self._field(consts, mninv, mn)
+        o[:] = f.mont_mul(x[:], y[:])
+
+    def _inv_kernel(self, consts, mninv, mn, ebits, x, o):
+        """Batched Fermat inversion x^(N-2) with an in-kernel fori_loop over
+        the exponent bits (MSB first; one launch, ~512 in-VMEM muls/lane)."""
+        f, _ = self._field(consts, mninv, mn)
+        xx = x[:]
+        one = jnp.broadcast_to(f.one_mont, xx.shape)
+
+        def body(i, acc):
+            acc = f.sqr(acc)
+            mul = f.mont_mul(acc, xx)
+            return jnp.where(ebits[i] != 0, mul, acc)
+
+        o[:] = jax.lax.fori_loop(0, 256, body, one)
+
+    def _dbl_kernel(self, consts, mninv, mn, x1, y1, z1, ox, oy, oz):
+        f, a_mont = self._field(consts, mninv, mn)
+        x, y, z = _double(f, a_mont, self.a_is_zero, x1[:], y1[:], z1[:])
+        ox[:], oy[:], oz[:] = x, y, z
+
+    def _dbln_kernel(self, count, consts, mninv, mn, x1, y1, z1, ox, oy, oz):
+        """count chained doublings with an in-kernel fori_loop (one launch)."""
+        f, a_mont = self._field(consts, mninv, mn)
+
+        def body(_, st):
+            return _double(f, a_mont, self.a_is_zero, *st)
+
+        x, y, z = jax.lax.fori_loop(0, count, body, (x1[:], y1[:], z1[:]))
+        ox[:], oy[:], oz[:] = x, y, z
+
+    def _adenom_kernel(self, consts, mninv, mn, lx, ly, rx, ry, flags, od):
+        f, _ = self._field(consts, mninv, mn)
+        od[:] = _affine_denom_body(
+            f, lx[:], ly[:], flags[0:1] != 0, rx[:], ry[:], flags[1:2] != 0
+        )
+
+    def _aadd_kernel(self, consts, mninv, mn, lx, ly, rx, ry, inv, flags, ox, oy, ov):
+        f, a_mont = self._field(consts, mninv, mn)
+        x, y, v = _affine_add_body(
+            f, a_mont, self.a_is_zero,
+            lx[:], ly[:], flags[0:1] != 0, rx[:], ry[:], flags[1:2] != 0, inv[:],
+        )
+        ox[:], oy[:] = x, y
+        ov[:] = jnp.broadcast_to(v.astype(U32), (1, x.shape[1]))
+
+    def _get_call(self, kind, kernel, n_elem, n_in, flag_rows=0, out_rows=(L, L, L)):
         bt = min(self.block, n_elem)
         assert n_elem % bt == 0, (n_elem, bt)
         key = (kind, n_elem)
@@ -409,13 +502,12 @@ class PallasEC:
             ] + [eb] * n_in
             if flag_rows:
                 specs.append(pl.BlockSpec((flag_rows, bt), lambda i: (0, i)))
-            out_shape = jax.ShapeDtypeStruct((L, n_elem), U32)
             self._calls[key] = pl.pallas_call(
                 kernel,
                 grid=(n_elem // bt,),
                 in_specs=specs,
-                out_specs=[eb] * n_out,
-                out_shape=[out_shape] * n_out,
+                out_specs=[pl.BlockSpec((r, bt), lambda i: (0, i)) for r in out_rows],
+                out_shape=[jax.ShapeDtypeStruct((r, n_elem), U32) for r in out_rows],
                 interpret=_use_interpret(),
             )
         return self._calls[key]
@@ -449,6 +541,98 @@ class PallasEC:
         call = self._get_call("jadd", self._jadd_kernel, npad, 6)
         ox, oy, oz = call(self.consts, self.m_ninv, self.m_n, *ins)
         return ox[:, :n], oy[:, :n], oz[:, :n]
+
+    def mul(self, x, y):
+        """Bulk Montgomery multiply on (16,N) planes."""
+        n = x.shape[1]
+        npad = -n % self.block + n
+        x, y = self._pad([x, y], n, npad)
+        call = self._get_call("mul", self._mul_kernel, npad, 2, out_rows=(L,))
+        (o,) = call(self.consts, self.m_ninv, self.m_n, x, y)
+        return o[:, :n]
+
+    def inv(self, x):
+        """Batched Fermat inversion on (16,N) planes; x must be nonzero
+        (padded lanes invert one_mont harmlessly... padded with 0 -> 0^(N-2)
+        = 0, also harmless)."""
+        n = x.shape[1]
+        npad = -n % self.block + n
+        (x,) = self._pad([x], n, npad)
+        bt = min(self.block, npad)
+        key = ("inv", npad)
+        if key not in self._calls:
+            from jax.experimental.pallas import tpu as pltpu
+
+            eb = pl.BlockSpec((L, bt), lambda i: (0, i))
+            self._calls[key] = pl.pallas_call(
+                self._inv_kernel,
+                grid=(npad // bt,),
+                in_specs=[
+                    pl.BlockSpec((L, 4), lambda i: (0, 0)),
+                    pl.BlockSpec((32, 32), lambda i: (0, 0)),
+                    pl.BlockSpec((32, 64), lambda i: (0, 0)),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    eb,
+                ],
+                out_specs=[eb],
+                out_shape=[jax.ShapeDtypeStruct((L, npad), U32)],
+                interpret=_use_interpret(),
+            )
+        e = self.modulus - 2
+        ebits = np.array(
+            [(e >> (255 - i)) & 1 for i in range(256)], dtype=np.int32
+        )
+        (o,) = self._calls[key](self.consts, self.m_ninv, self.m_n, ebits, x)
+        return o[:, :n]
+
+    def jdbl(self, x1, y1, z1):
+        """Jacobian doubling on (16,N) planes."""
+        n = x1.shape[1]
+        npad = -n % self.block + n
+        ins = self._pad([x1, y1, z1], n, npad)
+        call = self._get_call("dbl", self._dbl_kernel, npad, 3)
+        ox, oy, oz = call(self.consts, self.m_ninv, self.m_n, *ins)
+        return ox[:, :n], oy[:, :n], oz[:, :n]
+
+    def jdbl_n(self, x1, y1, z1, count: int):
+        """count chained Jacobian doublings in ONE kernel launch."""
+        import functools as _ft
+
+        n = x1.shape[1]
+        npad = -n % self.block + n
+        ins = self._pad([x1, y1, z1], n, npad)
+        call = self._get_call(
+            ("dbln", count), _ft.partial(self._dbln_kernel, count), npad, 3
+        )
+        ox, oy, oz = call(self.consts, self.m_ninv, self.m_n, *ins)
+        return ox[:, :n], oy[:, :n], oz[:, :n]
+
+    def affine_denom(self, lx, ly, lv, rx, ry, rv):
+        """Pair denominators for batched affine addition; (16,N) planes and
+        (N,) 0/1 validity flags.  Invalid / infinity pairs get 1 so the
+        batch inversion stays well-defined."""
+        n = lx.shape[1]
+        npad = -n % self.block + n
+        flags = jnp.stack([lv.astype(U32), rv.astype(U32)], axis=0)
+        lx, ly, rx, ry, flags = self._pad([lx, ly, rx, ry, flags], n, npad)
+        call = self._get_call(
+            "adenom", self._adenom_kernel, npad, 4, flag_rows=2, out_rows=(L,)
+        )
+        (d,) = call(self.consts, self.m_ninv, self.m_n, lx, ly, rx, ry, flags)
+        return d[:, :n]
+
+    def affine_add(self, lx, ly, lv, rx, ry, rv, inv):
+        """Affine pair add with precomputed inverse denominators.
+        Returns (x3, y3, valid3) with valid3 a (N,) 0/1 vector."""
+        n = lx.shape[1]
+        npad = -n % self.block + n
+        flags = jnp.stack([lv.astype(U32), rv.astype(U32)], axis=0)
+        lx, ly, rx, ry, inv, flags = self._pad([lx, ly, rx, ry, inv, flags], n, npad)
+        call = self._get_call(
+            "aadd", self._aadd_kernel, npad, 5, flag_rows=2, out_rows=(L, L, 1)
+        )
+        ox, oy, ov = call(self.consts, self.m_ninv, self.m_n, lx, ly, rx, ry, inv, flags)
+        return ox[:, :n], oy[:, :n], ov[0, :n]
 
 
 @functools.lru_cache(maxsize=None)

@@ -28,7 +28,7 @@ from jax import shard_map
 
 from ..ops import limb
 from ..ops.ec import CurveCtx, JPoints
-from ..ops.msm import _accumulate_buckets, _aggregate_buckets, scalar_digits_signed
+from ..ops.msm import _accumulate_buckets, _aggregate_buckets, digits_signed_jit
 from ..ops.limb import U32
 
 
@@ -97,7 +97,7 @@ class ShardedMSM:
         Pts = self.ctx.points_to_device(points)
         valid = jnp.asarray([0 if p is None else 1 for p in points], dtype=U32)
         sc = jnp.asarray(limb.ints_to_limbs([s % self.ctx.n for s in scalars]))
-        digits, signs = scalar_digits_signed(sc, self.c)
+        digits, signs = digits_signed_jit(sc, self.c)
         res = self._fn(Pts.x, Pts.y, valid, digits, signs)
         return self.ctx.points_to_host(
             JPoints(res.x[None], res.y[None], res.z[None])

@@ -61,10 +61,11 @@ class LC:
         return LC({i: c * k for i, c in self.terms.items()})
 
     def to_list(self, modulus: int = None) -> list:
+        # insertion order (deterministic); consumers are order-independent
         if modulus is None:
             modulus = R
         out = []
-        for i, c in sorted(self.terms.items()):
+        for i, c in self.terms.items():
             c %= modulus
             if c:
                 out.append((i, c))
@@ -119,6 +120,11 @@ class ConstraintSystem:
     # -- gadget library -----------------------------------------------------
     def mul(self, a, b) -> Var:
         """out = a * b."""
+        if isinstance(a, Var) and isinstance(b, Var):
+            vals = self.values
+            out = self.alloc(vals[a.idx] * vals[b.idx] % self.F)
+            self.constraints.append(([(a.idx, 1)], [(b.idx, 1)], [(out.idx, 1)]))
+            return out
         va, vb = self.value(a), self.value(b)
         out = self.alloc(va * vb % self.F)
         self.enforce(LC.of(a), LC.of(b), LC.of(out))
@@ -135,6 +141,11 @@ class ConstraintSystem:
 
     def assert_bool(self, x):
         """x * (x - 1) = 0."""
+        if isinstance(x, Var):  # raw fast path (hottest constraint kind)
+            self.constraints.append(
+                ([(x.idx, 1)], [(x.idx, 1), (0, self.F - 1)], [])
+            )
+            return
         self.enforce(LC.of(x), LC.of(x) - LC.of(1), LC.of(0))
 
     def alloc_bool(self, value: int) -> Var:
@@ -146,28 +157,50 @@ class ConstraintSystem:
         """Little-endian bit decomposition with recomposition constraint
         (circomlib Num2Bits semantics)."""
         val = self.value(x)
-        bits = [self.alloc_bool((val >> i) & 1) for i in range(nbits)]
-        acc = LC()
-        for i, b in enumerate(bits):
-            acc = acc + LC.of(b, 1 << i)
-        self.assert_equal(acc, LC.of(x))
-        return bits
+        vals = self.values
+        cons = self.constraints
+        F = self.F
+        self._frozen_publics = True
+        base = len(vals)
+        acc = []
+        for i in range(nbits):
+            idx = base + i
+            vals.append((val >> i) & 1)
+            cons.append(([(idx, 1)], [(idx, 1), (0, F - 1)], []))
+            acc.append((idx, 1 << i))
+        if isinstance(x, Var) and x.idx >= base:  # can't alias fresh bits
+            raise AssertionError
+        xl = LC.of(x, -1).to_list(F)
+        cons.append((acc + xl, [(0, 1)], []))
+        return [Var(base + i) for i in range(nbits)]
 
     def bits_to_num(self, bits: list[Var]) -> Var:
-        acc = LC()
-        for i, b in enumerate(bits):
-            acc = acc + LC.of(b, 1 << i)
-        return self.add_const_mul(acc)
+        out = self.alloc(
+            sum(self.values[b.idx] << i for i, b in enumerate(bits)) % self.F
+        )
+        acc = [(b.idx, 1 << i) for i, b in enumerate(bits)]
+        self.constraints.append((acc, [(0, 1)], [(out.idx, 1)]))
+        return out
 
     def xor(self, a: Var, b: Var) -> Var:
         """Boolean XOR: out = a + b - 2ab."""
-        va, vb = self.value(a), self.value(b)
-        out = self.alloc(va ^ vb)
+        vals = self.values
+        out = self.alloc(vals[a.idx] ^ vals[b.idx])
         # a*2b = a + b - out
-        self.enforce(LC.of(a, 2), LC.of(b), LC.of(a) + LC.of(b) - LC.of(out))
+        F = self.F
+        if a.idx != b.idx:
+            c = [(a.idx, 1), (b.idx, 1), (out.idx, F - 1)]
+        else:
+            c = [(a.idx, 2), (out.idx, F - 1)]
+        self.constraints.append(([(a.idx, 2)], [(b.idx, 1)], c))
         return out
 
     def and_(self, a: Var, b: Var) -> Var:
+        if isinstance(a, Var) and isinstance(b, Var):
+            vals = self.values
+            out = self.alloc(vals[a.idx] * vals[b.idx] % self.F)
+            self.constraints.append(([(a.idx, 1)], [(b.idx, 1)], [(out.idx, 1)]))
+            return out
         return self.mul(a, b)
 
     def not_(self, a: Var) -> LC:

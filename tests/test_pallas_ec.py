@@ -147,3 +147,93 @@ def test_msm_pallas_path_matches_host():
         msm_mod.USE_PALLAS = old
     want = BN254_G1.msm(ks, pts)
     assert got == want
+
+
+@pytest.mark.parametrize("curve", CURVES[:1], ids=lambda c: c.name)
+def test_affine_pair_ops_match_host(curve):
+    """affine_denom + batch inversion + affine_add (the msm_affine round
+    primitives) against the host curve law, with the case zoo: generic,
+    L==R (double), L==-R (infinity), left-only, right-only, neither."""
+    rng = random.Random(41)
+    ctx = get_curve_ctx(curve)
+    pec = _pec(ctx)
+    host = curve
+
+    n = 8
+    L_host = _rand_points(curve, ctx, rng, n)
+    R_host = _rand_points(curve, ctx, rng, n)
+    R_host[1] = L_host[1]                                     # double
+    R_host[2] = (L_host[2][0], (-L_host[2][1]) % ctx.fctx.modulus)  # inf
+    lv = np.ones(n, np.uint32)
+    rv = np.ones(n, np.uint32)
+    rv[3] = 0          # left-only passthrough
+    lv[4] = 0          # right-only passthrough
+    lv[5] = rv[5] = 0  # neither
+
+    Lp = ctx.points_to_device(L_host)
+    Rp = ctx.points_to_device(R_host)
+    lx, ly = Lp.x.T, Lp.y.T
+    rx, ry = Rp.x.T, Rp.y.T
+
+    d = pec.affine_denom(lx, ly, jnp.asarray(lv), rx, ry, jnp.asarray(rv))
+    # host-invert the denominators: inv_mont = to_mont(inv(from_mont(d)))
+    d_std = ctx.fctx.from_mont_host(np.asarray(d).T)
+    inv_std = [pow(v, -1, ctx.fctx.modulus) for v in d_std]
+    inv_pl = jnp.asarray(ctx.fctx.to_mont_host(inv_std).T).astype(U32)
+
+    ox, oy, ov = pec.affine_add(
+        lx, ly, jnp.asarray(lv), rx, ry, jnp.asarray(rv), inv_pl
+    )
+    got_x = ctx.fctx.from_mont_host(np.asarray(ox).T)
+    got_y = ctx.fctx.from_mont_host(np.asarray(oy).T)
+    ov = np.asarray(ov)
+
+    for i in range(n):
+        a = L_host[i] if lv[i] else None
+        b = R_host[i] if rv[i] else None
+        if a is None and b is None:
+            want = None
+        elif a is None:
+            want = b
+        elif b is None:
+            want = a
+        else:
+            want = host.add(a, b)
+        if want is None:
+            assert ov[i] == 0, i
+        else:
+            assert ov[i] != 0, i
+            assert (got_x[i], got_y[i]) == want, i
+
+
+@pytest.mark.skipif(not SLOW, reason="CRESCENT_SLOW_TESTS != 1")
+def test_inv_and_affine_msm_match_host():
+    """pec.inv (Fermat kernel) KAT + full AffineMSM (ops/msm_affine.py) vs
+    the host Pippenger oracle — the production TPU MSM path in interpret
+    mode at toy size."""
+    from crescent_tpu.ops import msm as msm_mod
+    from crescent_tpu.ops.msm_affine import AffineMSM
+
+    rng = random.Random(17)
+    ctx = get_curve_ctx(BN254_G1)
+    pec = _pec(ctx, block=512)
+
+    # inv KAT
+    vals = [rng.randrange(1, ctx.fctx.modulus) for _ in range(8)]
+    x = jnp.asarray(ctx.fctx.to_mont_host(vals).T).astype(U32)
+    got = ctx.fctx.from_mont_host(np.asarray(pec.inv(x)).T)
+    assert got == [pow(v, -1, ctx.fctx.modulus) for v in vals]
+
+    # full affine MSM
+    n = 64
+    pts = _rand_points(BN254_G1, ctx, rng, n)
+    ks = [rng.randrange(BN254_G1.n) for _ in range(n)]
+    am = AffineMSM(ctx, pec, c=5)
+    px, py = ctx.points_to_device(pts).x, ctx.points_to_device(pts).y
+    sc = jnp.asarray(limb.ints_to_limbs(ks))
+    out = am.run(px, py, jnp.ones(n, U32), sc)
+    got = ctx.points_to_host(
+        JPoints(out.x[None], out.y[None], out.z[None])
+    )[0]
+    want = BN254_G1.msm(ks, pts)
+    assert got == want
