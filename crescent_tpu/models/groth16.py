@@ -53,6 +53,34 @@ def _native_ok() -> bool:
     return os.environ.get("CRESCENT_NATIVE", "1") == "1" and nb.available()
 
 
+def _sharded_prove():
+    """(ShardedMSM g1, ShardedMSM g2) when multi-chip prove is enabled:
+    CRESCENT_SHARDED=1 with >= 2 visible devices.  The 4 G1 MSMs and the G2
+    MSM shard over the point axis with all-gather bucket combination
+    (parallel/sharded_msm.py); NTTs stay replicated (they are < 10% of
+    prove — shard via parallel/sharded_ntt.py when they dominate)."""
+    import os
+
+    if os.environ.get("CRESCENT_SHARDED", "0") != "1":
+        return None
+    if len(jax.devices()) < 2:
+        return None
+    global _SHARDED_CACHE
+    if _SHARDED_CACHE is None:
+        from ..ops.ec import get_g2_ctx
+        from ..parallel.sharded_msm import ShardedMSM, make_mesh
+
+        mesh = make_mesh()
+        _SHARDED_CACHE = (
+            ShardedMSM(get_curve_ctx(G1), mesh, c=8, lanes=16),
+            ShardedMSM(get_g2_ctx(), mesh, c=8, lanes=16),
+        )
+    return _SHARDED_CACHE
+
+
+_SHARDED_CACHE = None
+
+
 def _native_msm_prove() -> bool:
     """Use the native host MSM inside `prove` when JAX is running on CPU
     (tests / no accelerator).  On TPU the device MSM kernels are the path."""
@@ -455,7 +483,17 @@ def prove(
     dom = _domain_for(r1cs)
     h = _compute_h(r1cs, z, dom)
 
-    if _native_msm_prove():
+    shard = _sharded_prove()
+    if shard is not None:
+        smsm_g1, smsm_g2 = shard
+        zr = [x % R for x in z]
+        with timed(f"prove::MSMs sharded x{smsm_g1.mesh.devices.size} ({r1cs.num_vars} vars)"):
+            az = smsm_g1.run_host(zr, pk.a_query)
+            bz1 = smsm_g1.run_host(zr, pk.b_g1_query)
+            hq = smsm_g1.run_host(h, pk.h_query)
+            lw = smsm_g1.run_host(zr[r1cs.num_instance :], pk.l_query)
+            bz2 = smsm_g2.run_host(zr, pk.b_g2_query)
+    elif _native_msm_prove():
         with timed(f"prove::MSMs native ({r1cs.num_vars} vars)"):
             zr = [x % R for x in z]
             az = nb.msm("bn254_g1", zr, pk.a_query)

@@ -73,6 +73,10 @@ def _lib():
             "cn_batch_inv": [u64p, u64p, szt, u64p],
             "cn_powers": [u64p, u64p, u64p, szt, u64p],
             "cn_dot": [u64p, u64p, u64p, szt, u64p],
+            "cn_sumcheck_quad": [u64p, szt, u64p, u64p, u64p, cint],
+            "cn_sumcheck_cubic": [u64p, szt, u64p, u64p, u64p, u64p, u64p, cint],
+            "cn_bind_top": [u64p, szt, u64p, u64p, u64p, cint],
+            "cn_eq_evals": [u64p, u64p, szt, u64p],
         }
         for name, args in sigs.items():
             fn = getattr(lib, name)
@@ -295,6 +299,53 @@ def powers(modulus: int, base: int, scale: int, n: int) -> np.ndarray:
     out = np.zeros((n, 4), dtype="<u8")
     rc = lib.cn_powers(_ptr(_mod_arr(modulus)), _ptr(ints_to_u64([base])),
                        _ptr(ints_to_u64([scale])), n, _ptr(out))
+    assert rc == 0
+    return out
+
+
+def sumcheck_quad(modulus: int, a: np.ndarray, b: np.ndarray) -> tuple[int, int]:
+    """(e0, e2) round evals for sum_x A*B; a/b (2*half, 4) standard u64."""
+    lib = _lib()
+    half = a.shape[0] // 2
+    out = np.zeros((2, 4), dtype="<u8")
+    rc = lib.cn_sumcheck_quad(_ptr(_mod_arr(modulus)), half, _ptr(a), _ptr(b),
+                              _ptr(out), _nthreads())
+    assert rc == 0
+    e = u64_to_ints(out)
+    return e[0], e[1]
+
+
+def sumcheck_cubic(modulus: int, a: np.ndarray, b: np.ndarray, c: np.ndarray,
+                   d: np.ndarray) -> tuple[int, int, int]:
+    """(e0, e2, e3) round evals for sum_x A*(B*C - D)."""
+    lib = _lib()
+    half = a.shape[0] // 2
+    out = np.zeros((3, 4), dtype="<u8")
+    rc = lib.cn_sumcheck_cubic(_ptr(_mod_arr(modulus)), half, _ptr(a), _ptr(b),
+                               _ptr(c), _ptr(d), _ptr(out), _nthreads())
+    assert rc == 0
+    e = u64_to_ints(out)
+    return e[0], e[1], e[2]
+
+
+def bind_top(modulus: int, evals: np.ndarray, r: int) -> np.ndarray:
+    """out[i] = lo[i] + r*(hi[i]-lo[i]); evals (2*half, 4) -> (half, 4)."""
+    lib = _lib()
+    half = evals.shape[0] // 2
+    out = np.zeros((half, 4), dtype="<u8")
+    rc = lib.cn_bind_top(_ptr(_mod_arr(modulus)), half, _ptr(evals),
+                         _ptr(ints_to_u64([r % modulus])), _ptr(out), _nthreads())
+    assert rc == 0
+    return out
+
+
+def eq_evals(modulus: int, rs: list[int]) -> np.ndarray:
+    """eq(x, r) table over {0,1}^len(rs) as (2^m, 4) standard u64."""
+    lib = _lib()
+    m = len(rs)
+    out = np.zeros((1 << m, 4), dtype="<u8")
+    rc = lib.cn_eq_evals(_ptr(_mod_arr(modulus)),
+                         _ptr(ints_to_u64([r % modulus for r in rs])), m, _ptr(out))
     assert rc == 0
     return out
 

@@ -22,6 +22,7 @@
 #include <cstdint>
 #include <cstring>
 #include <cstdlib>
+#include <functional>
 #include <thread>
 #include <vector>
 
@@ -1002,6 +1003,167 @@ int cn_powers(const u64 *mod, const u64 *base_std, const u64 *scale_std, size_t 
     for (size_t j = 0; j < n; ++j) {
         from_mont(f, acc, out + j * 4);
         fmul(f, acc, b, acc);
+    }
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Spartan sumcheck hot loops (forks/Spartan-t256/src/sumcheck.rs:430-778).
+// The prover's per-round work is O(n) field math over the full evaluation
+// tables; these run it natively (standard-form u64x4 in/out, threaded).
+// ---------------------------------------------------------------------------
+
+static void parallel_chunks(size_t n, int nthreads,
+                            const std::function<void(size_t, size_t, int)> &body) {
+    int T = nthreads > 1 ? nthreads : 1;
+    if (T == 1 || n < 4096) {
+        body(0, n, 0);
+        return;
+    }
+    std::vector<std::thread> ths;
+    size_t chunk = (n + T - 1) / T;
+    for (int t = 0; t < T; ++t) {
+        size_t lo = t * chunk, hi = lo + chunk < n ? lo + chunk : n;
+        if (lo >= hi) break;
+        ths.emplace_back(body, lo, hi, t);
+    }
+    for (auto &th : ths) th.join();
+}
+
+// Round evals for sum_x A(x)*B(x): out = (e0, e2) with
+//   e0 = sum_i A_lo[i]*B_lo[i],
+//   e2 = sum_i (2*A_hi[i]-A_lo[i]) * (2*B_hi[i]-B_lo[i]).
+// A/B are length 2*half (lo = [0,half), hi = [half,2*half)).
+int cn_sumcheck_quad(const u64 *mod, size_t half, const u64 *A, const u64 *B,
+                     u64 *out, int nthreads) {
+    FieldCtx f;
+    field_init(f, mod);
+    int T = nthreads > 1 ? nthreads : 1;
+    std::vector<u64> acc(T * 8, 0);
+    parallel_chunks(half, nthreads, [&](size_t lo, size_t hi, int t) {
+        u64 *e0 = &acc[t * 8], *e2 = &acc[t * 8 + 4];
+        for (size_t i = lo; i < hi; ++i) {
+            const u64 *al = A + i * 4, *ah = A + (half + i) * 4;
+            const u64 *bl = B + i * 4, *bh = B + (half + i) * 4;
+            u64 p[4], a2[4], b2[4];
+            fmul(f, al, bl, p);            // al*bl*R^{-1}
+            fadd(f, e0, p, e0);
+            fadd(f, ah, ah, a2); fsub(f, a2, al, a2);
+            fadd(f, bh, bh, b2); fsub(f, b2, bl, b2);
+            fmul(f, a2, b2, p);
+            fadd(f, e2, p, e2);
+        }
+    });
+    u64 e0[4] = {0, 0, 0, 0}, e2[4] = {0, 0, 0, 0};
+    for (int t = 0; t < T; ++t) {
+        fadd(f, e0, &acc[t * 8], e0);
+        fadd(f, e2, &acc[t * 8 + 4], e2);
+    }
+    fmul(f, e0, f.r2, out);         // undo the deferred R^{-1}
+    fmul(f, e2, f.r2, out + 4);
+    return 0;
+}
+
+// Round evals for sum_x A(x)*(B(x)*C(x) - D(x)): out = (e0, e2, e3) at
+// extension points 0, 2, 3 (sumcheck.rs prove_cubic_with_additive_term).
+int cn_sumcheck_cubic(const u64 *mod, size_t half, const u64 *A, const u64 *B,
+                      const u64 *C, const u64 *D, u64 *out, int nthreads) {
+    FieldCtx f;
+    field_init(f, mod);
+    int T = nthreads > 1 ? nthreads : 1;
+    std::vector<u64> acc(T * 12, 0);
+    parallel_chunks(half, nthreads, [&](size_t lo, size_t hi, int t) {
+        u64 *e0 = &acc[t * 12], *e2 = &acc[t * 12 + 4], *e3 = &acc[t * 12 + 8];
+        for (size_t i = lo; i < hi; ++i) {
+            u64 am[4], bm[4], cm[4], dm[4], ad[4], bd[4], cd[4], dd[4];
+            u64 bc[4], tsum[4], p[4];
+            const u64 *al = A + i * 4, *ah = A + (half + i) * 4;
+            const u64 *bl = B + i * 4, *bh = B + (half + i) * 4;
+            const u64 *cl = C + i * 4, *ch = C + (half + i) * 4;
+            const u64 *dl = D + i * 4, *dh = D + (half + i) * 4;
+            to_mont(f, al, am); to_mont(f, bl, bm);
+            to_mont(f, cl, cm); to_mont(f, dl, dm);
+            // deltas (hi - lo) in Montgomery form drive both ext points
+            u64 ahm[4], bhm[4], chm[4], dhm[4];
+            to_mont(f, ah, ahm); to_mont(f, bh, bhm);
+            to_mont(f, ch, chm); to_mont(f, dh, dhm);
+            fsub(f, ahm, am, ad); fsub(f, bhm, bm, bd);
+            fsub(f, chm, cm, cd); fsub(f, dhm, dm, dd);
+            // e0 += a*(b*c - d)
+            fmul(f, bm, cm, bc);
+            fsub(f, bc, dm, tsum);
+            fmul(f, am, tsum, p);
+            fadd(f, e0, p, e0);
+            // ext point 2: v2 = hi + delta; point 3: v3 = v2 + delta
+            u64 a2[4], b2[4], c2[4], d2[4];
+            fadd(f, ahm, ad, a2); fadd(f, bhm, bd, b2);
+            fadd(f, chm, cd, c2); fadd(f, dhm, dd, d2);
+            fmul(f, b2, c2, bc);
+            fsub(f, bc, d2, tsum);
+            fmul(f, a2, tsum, p);
+            fadd(f, e2, p, e2);
+            fadd(f, a2, ad, a2); fadd(f, b2, bd, b2);
+            fadd(f, c2, cd, c2); fadd(f, d2, dd, d2);
+            fmul(f, b2, c2, bc);
+            fsub(f, bc, d2, tsum);
+            fmul(f, a2, tsum, p);
+            fadd(f, e3, p, e3);
+        }
+    });
+    u64 e0[4] = {0, 0, 0, 0}, e2[4] = {0, 0, 0, 0}, e3[4] = {0, 0, 0, 0};
+    for (int t = 0; t < T; ++t) {
+        fadd(f, e0, &acc[t * 12], e0);
+        fadd(f, e2, &acc[t * 12 + 4], e2);
+        fadd(f, e3, &acc[t * 12 + 8], e3);
+    }
+    from_mont(f, e0, out);
+    from_mont(f, e2, out + 4);
+    from_mont(f, e3, out + 8);
+    return 0;
+}
+
+// Bind the top multilinear variable: out[i] = lo[i] + r*(hi[i] - lo[i]),
+// i = 0..half-1 (DensePolynomial::bound_poly_var_top).
+int cn_bind_top(const u64 *mod, size_t half, const u64 *evals, const u64 *r_std,
+                u64 *out, int nthreads) {
+    FieldCtx f;
+    field_init(f, mod);
+    u64 rm[4];
+    to_mont(f, r_std, rm);
+    parallel_chunks(half, nthreads, [&](size_t lo, size_t hi, int) {
+        for (size_t i = lo; i < hi; ++i) {
+            u64 d[4], p[4];
+            fsub(f, evals + (half + i) * 4, evals + i * 4, d);
+            fmul(f, d, rm, p);                       // d*r (std: rm has R)
+            fadd(f, evals + i * 4, p, out + i * 4);
+        }
+    });
+    return 0;
+}
+
+// eq(x, r) table over x in {0,1}^m (EqPolynomial::evals): doubling build,
+// out length 2^m, standard form.  rs: m scalars, top variable first.
+int cn_eq_evals(const u64 *mod, const u64 *rs_std, size_t m, u64 *out) {
+    FieldCtx f;
+    field_init(f, mod);
+    memcpy(out, f.r1, 32);  // start with [1] in Montgomery
+    size_t n = 1;
+    for (size_t v = 0; v < m; ++v) {
+        u64 rm[4], one_minus_r[4];
+        to_mont(f, rs_std + v * 4, rm);
+        fsub(f, f.r1, rm, one_minus_r);
+        for (size_t i = n; i-- > 0;) {
+            u64 e[4];
+            memcpy(e, out + i * 4, 32);
+            fmul(f, e, one_minus_r, out + i * 4);
+            fmul(f, e, rm, out + (n + i) * 4);
+        }
+        n *= 2;
+    }
+    for (size_t i = 0; i < n; ++i) {
+        u64 v[4];
+        from_mont(f, out + i * 4, v);
+        memcpy(out + i * 4, v, 32);
     }
     return 0;
 }

@@ -6,23 +6,31 @@ doubling branch — and another 26 in the lane fold), plus a bucket
 gather/scatter every scan step.  This module replaces the whole pipeline
 with the structure recent MSM accelerators use (cf. if-ZKP / SZKP bucket
 schedulers) re-shaped for SIMD, and compiles the ENTIRE MSM into ONE jitted
-program — profiling of the first (host-looped) version showed per-round
-host round-trips through the TPU tunnel (survivor-count pulls, termination
-checks, host root inversions) costing more than the field work itself.
+program — profiling showed per-round host round-trips through the TPU
+tunnel (survivor-count pulls, termination checks, host root inversions, and
+even the eager digit recoding) costing more than the field work itself.
 
 Pipeline (all device-side, zero host syncs):
 
-  1. signed window digits (N, W) -> flat entries keyed by (window, bucket);
-     invalid/zero-digit entries key to a sentinel;
-  2. ONE argsort groups same-bucket entries into contiguous segments
-     (0.7 ms for 2M keys on a v5e — measured);
-  3. ceil(log4(M)) rounds of 4-ary segmented reduction: each round gathers
-     rank-quads of same-key entries, runs TWO levels of batched affine pair
-     addition (one shared Montgomery product-tree inversion per level, with
-     the root block inverted ON DEVICE by a Fermat kernel that loops over
-     the exponent bits in-VMEM), and compacts survivors with a cumsum +
-     column scatter.  Array sizes follow a static worst-case schedule
-     (survivors <= m/4 + 3/4 * #segments), so no data-dependent shapes;
+  1. signed window digits (computed in-program) -> flat entries keyed by
+     (window, bucket) with the entry VALIDITY packed into the key's low bit
+     (an invalid survivor keeps its segment key, so reduction-round
+     accounting is unchanged, but validity needs no separate gather);
+     the sort payload is (point_index << 1 | sign), so round 1 reads
+     coordinates straight from the (16, N) / (16, 2N) point tables instead
+     of materializing (16, N*W) gathered copies;
+  2. ONE `lax.sort` over (packed_key, payload) groups same-bucket entries
+     into contiguous segments (~0.7 ms for 2M keys on a v5e — measured);
+  3. ceil(log4(M)) rounds of 4-ary segmented reduction: each round locates
+     rank-quads of same-key entries (quad-head positions = stable argsort of
+     the head mask — TPU XLA lowers scatter and vectorized searchsorted to
+     serial-ish code, gathers are the only fast primitive), runs TWO levels
+     of batched affine pair addition (one shared Montgomery product-tree
+     inversion per level, root block inverted ON DEVICE by a single-block
+     Fermat kernel looping over the exponent bits in-VMEM, unwind muls fused
+     two-per-launch), and compacts survivors by gather.  Array sizes follow
+     a static worst-case schedule (survivors <= m/4 + 3/4 * #segments), so
+     no data-dependent shapes;
   4. survivors scatter into a dense (W, B) bucket table; per-window suffix
      sums run as shift-add rounds of the fused Jacobian-add kernel, bucket
      weighting as a log tree, and windows combine by a doubling tree whose
@@ -40,10 +48,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import limb
 from .ec import CurveCtx, JPoints
 from .limb import LIMB_BITS, NLIMB, U32
-from .pallas_ec import PallasEC
 
 I32 = jnp.int32
 
@@ -68,12 +74,13 @@ class AffineMSM:
 
     One jitted program per (padded) input size; everything device-side."""
 
-    def __init__(self, ctx: CurveCtx, pec: PallasEC, c: int = 11,
-                 min_bucket: int = 512):
+    def __init__(self, ctx: CurveCtx, pec, c: int = 11, min_bucket: int = 512,
+                 inv_floor: int = 4096):
         self.ctx = ctx
         self.pec = pec
         self.c = c
         self.min_bucket = min_bucket
+        self.inv_floor = inv_floor
         self.B = (1 << (c - 1)) + 1          # signed digits: |d| <= 2^(c-1)
         nbits = NLIMB * LIMB_BITS
         self.W = (nbits + c - 1) // c + 1    # +1 carry window
@@ -84,51 +91,44 @@ class AffineMSM:
     # -- batch inversion (device Fermat root) ---------------------------------
     def _batch_inv(self, d):
         """Montgomery product-tree inversion of (16, n) nonzero values:
-        ~3 muls per element + one Fermat kernel on the <=512-wide root."""
+        ~3 muls per element + one single-block Fermat kernel on the root.
+        The unwind runs both per-level muls in one fused launch."""
         levels = [d]
-        while levels[-1].shape[1] > 512:
+        while levels[-1].shape[1] > self.inv_floor:
             cur = levels[-1]
             assert cur.shape[1] % 2 == 0, cur.shape
             levels.append(self.pec.mul(cur[:, 0::2], cur[:, 1::2]))
         inv = self.pec.inv(levels[-1])
         for cur in levels[-2::-1]:
             le, ro = cur[:, 0::2], cur[:, 1::2]
-            inv = jnp.stack(
-                [self.pec.mul(inv, ro), self.pec.mul(inv, le)], axis=2
-            ).reshape(NLIMB, cur.shape[1])
+            w = cur.shape[1] // 2
+            both = self.pec.mul(
+                jnp.concatenate([inv, inv], axis=1),
+                jnp.concatenate([ro, le], axis=1),
+            )
+            inv = jnp.stack([both[:, :w], both[:, w:]], axis=2).reshape(
+                NLIMB, cur.shape[1]
+            )
         return inv
 
     # -- one 4-ary reduction round --------------------------------------------
-    def _round(self, keys, ex, ey, ev, mn: int):
-        """Keys sorted; quad j of its segment reduces to survivor j.  The
-        quad->survivor compaction is GATHER-based: a stable argsort of ~head
-        lists the quad-head positions first and in order, so survivor j's
-        source index is argsort(~head)[j] — XLA scatters of (16, m) columns
-        are serial-ish on TPU and dominated the first version of this round,
-        and vectorized searchsorted's while-loop (binary search + loop-carried
-        copies) dominated the second."""
-        m = keys.shape[0]
+    def _quads(self, pk, mn: int):
+        """Quad-head bookkeeping for packed keys pk: returns (hp, in_r, kseg)
+        with hp the source index of survivor j's quad head, in_r its
+        existence mask, kseg the segment key (pk >> 1) at the head."""
+        m = pk.shape[0]
         i = jnp.arange(m, dtype=I32)
-        seg_start = jnp.concatenate([jnp.ones(1, bool), keys[1:] != keys[:-1]])
+        seg = pk >> 1
+        seg_start = jnp.concatenate([jnp.ones(1, bool), seg[1:] != seg[:-1]])
         rank = i - _cummax(jnp.where(seg_start, i, 0))
         head = (rank & 3) == 0
         hp = jnp.argsort(jnp.where(head, 0, 1).astype(jnp.uint8),
                          stable=True)[:mn].astype(I32)
-        in_r = head[hp]
-        hpc = hp
-        kh = keys[hpc]
-        nkeys = jnp.where(in_r, kh, jnp.uint32(self.sentinel))
-        parts = []
-        for t in range(4):
-            pos = jnp.minimum(hpc + t, m - 1)
-            ok = in_r & (hpc + t < m) & (keys[pos] == kh)
-            parts.append((
-                ex[:, pos],
-                ey[:, pos],
-                ((ev[pos] != 0) & ok).astype(U32),
-            ))
+        return hp, head[hp], seg[hp]
 
-        # level 1: (e0 + e1) and (e2 + e3) in one double-width batch
+    def _pair_levels(self, parts, kseg, in_r, mn: int):
+        """Two levels of batched affine pair addition over the 4 quad parts.
+        parts: [(x, y, valid)] * 4.  Returns survivor (x, y, valid)."""
         lx = jnp.concatenate([parts[0][0], parts[2][0]], axis=1)
         ly = jnp.concatenate([parts[0][1], parts[2][1]], axis=1)
         lv = jnp.concatenate([parts[0][2], parts[2][2]])
@@ -137,22 +137,55 @@ class AffineMSM:
         rv = jnp.concatenate([parts[1][2], parts[3][2]])
         d = self.pec.affine_denom(lx, ly, lv, rx, ry, rv)
         sx, sy, sv = self.pec.affine_add(lx, ly, lv, rx, ry, rv, self._batch_inv(d))
-
-        # level 2: s01 + s23
         ax, bx = sx[:, :mn], sx[:, mn:]
         ay, by = sy[:, :mn], sy[:, mn:]
         av, bv = sv[:mn], sv[mn:]
         d2 = self.pec.affine_denom(ax, ay, av, bx, by, bv)
-        nx, ny, nv = self.pec.affine_add(ax, ay, av, bx, by, bv, self._batch_inv(d2))
-        return nkeys, nx, ny, nv.astype(U32)
+        return self.pec.affine_add(ax, ay, av, bx, by, bv, self._batch_inv(d2))
+
+    def _round(self, pk, ex, ey, mn: int):
+        """One 4-ary reduction round on survivor arrays (rounds >= 2).
+        pk: (m,) packed keys (key<<1 | valid); ex/ey: (16, m)."""
+        m = pk.shape[0]
+        hp, in_r, kseg = self._quads(pk, mn)
+        parts = []
+        for t in range(4):
+            pos = jnp.minimum(hp + t, m - 1)
+            g = pk[pos]
+            ok = in_r & (hp + t < m) & ((g >> 1) == kseg)
+            parts.append((ex[:, pos], ey[:, pos], (ok & ((g & 1) != 0)).astype(U32)))
+        nx, ny, nv = self._pair_levels(parts, kseg, in_r, mn)
+        npk = jnp.where(in_r, kseg * 2 + nv, jnp.uint32(2 * self.sentinel))
+        return npk, nx, ny
+
+    def _round1(self, spk, spay, tx, ty, mn: int, n: int):
+        """First reduction round: coordinates come straight from the point
+        tables via the sorted payload (point_index<<1 | sign)."""
+        m = spk.shape[0]
+        hp, in_r, kseg = self._quads(spk, mn)
+        parts = []
+        for t in range(4):
+            pos = jnp.minimum(hp + t, m - 1)
+            g = spk[pos]
+            pay = spay[pos]
+            pid = (pay >> 1).astype(I32)
+            ok = in_r & (hp + t < m) & ((g >> 1) == kseg)
+            x = tx[:, pid]
+            y = ty[:, pid + (pay & 1).astype(I32) * n]
+            parts.append((x, y, (ok & ((g & 1) != 0)).astype(U32)))
+        nx, ny, nv = self._pair_levels(parts, kseg, in_r, mn)
+        npk = jnp.where(in_r, kseg * 2 + nv, jnp.uint32(2 * self.sentinel))
+        return npk, nx, ny
 
     # -- bucket aggregation -----------------------------------------------------
-    def _aggregate(self, keys, ex, ey, ev):
+    def _aggregate(self, pk, ex, ey):
         """Dense (W, B) table -> suffix sums -> bucket weighting -> window
         combine.  Returns one Jacobian point as (16,) planes x3."""
         W, B, c = self.W, self.B, self.c
         pec = self.pec
         WB = W * B
+        ev = (pk & 1).astype(U32)
+        keys = pk >> 1
         idx = jnp.where(ev != 0, keys.astype(I32), jnp.int32(WB))
         dx = jnp.zeros((NLIMB, WB), U32).at[:, idx].set(ex, mode="drop")
         dy = jnp.zeros((NLIMB, WB), U32).at[:, idx].set(ey, mode="drop")
@@ -222,7 +255,6 @@ class AffineMSM:
             slack = (3 * (W * B + 2)) // 4 + 64
             rounds = []
             m = m0
-            r = 0
             max_seg = m0
             while max_seg > 1:
                 # clamp: the gather-compaction slices argsort(~head)[:mn],
@@ -239,22 +271,31 @@ class AffineMSM:
                 from .msm import scalar_digits_signed
 
                 digits, signs = scalar_digits_signed(scalars, self.c)
-                ney = ctx.fctx.neg_mod(py)
+                tx = px.T
+                ty = jnp.concatenate([py.T, ctx.fctx.neg_mod(py).T], axis=1)
+                valid = (digits != 0) & (pvalid[:, None] != 0)
                 keys = jnp.where(
-                    (digits != 0) & (pvalid[:, None] != 0),
+                    valid,
                     jnp.arange(W, dtype=U32)[None, :] * B + digits,
                     jnp.uint32(sentinel),
-                ).reshape(-1)
-                perm = jnp.argsort(keys)
-                skeys = keys[perm]
-                pt = (perm // W).astype(I32)
-                sgn = signs.reshape(-1)[perm]
-                ex = px.T[:, pt]
-                ey = jnp.where(sgn[None, :] != 0, ney.T[:, pt], py.T[:, pt])
-                ev = (skeys != sentinel).astype(U32)
-                for mn in rounds:
-                    skeys, ex, ey, ev = self._round(skeys, ex, ey, ev, mn)
-                return self._aggregate(skeys, ex, ey, ev)
+                )
+                pk = keys * 2 + valid.astype(U32)
+                pay = (
+                    jnp.broadcast_to(
+                        jnp.arange(n, dtype=U32)[:, None] << 1, (n, W)
+                    )
+                    | signs
+                )
+                spk, spay = jax.lax.sort(
+                    (pk.reshape(-1), pay.reshape(-1)), num_keys=1
+                )
+                ex = ey = None
+                for i, mn in enumerate(rounds):
+                    if i == 0:
+                        spk, ex, ey = self._round1(spk, spay, tx, ty, mn, n)
+                    else:
+                        spk, ex, ey = self._round(spk, ex, ey, mn)
+                return self._aggregate(spk, ex, ey)
 
             self._msm[n] = msm
         return self._msm[n]

@@ -558,7 +558,10 @@ class PallasEC:
         n = x.shape[1]
         npad = -n % self.block + n
         (x,) = self._pad([x], n, npad)
-        bt = min(self.block, npad)
+        # single block up to 8192 lanes: TPU grid steps run sequentially and
+        # the 256-iteration exponent loop dominates, so one wide block beats
+        # npad/block sequential reruns of it (VMEM: (16, 8192) u32 = 512 KB)
+        bt = npad if npad <= 8192 else self.block
         key = ("inv", npad)
         if key not in self._calls:
             from jax.experimental.pallas import tpu as pltpu
