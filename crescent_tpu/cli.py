@@ -44,7 +44,9 @@ _EMAIL_CLAIM = {
 DEFAULT_CONFIGS = {
     "rs256": {
         "alg": "RS256",
-        "max_cred_len": 384,
+        # the reference default scale (creds/src/prep_inputs.rs:24); use
+        # rs256-sd/-db for CI-speed smaller instances
+        "max_cred_len": 2048,
         "exp": {"type": "number", "max_claim_byte_len": 31, "reveal": True},
         "email": dict(_EMAIL_CLAIM),
     },

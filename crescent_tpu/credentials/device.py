@@ -59,6 +59,17 @@ class TestDevice:
         self.public = P256.mul(self.secret, P256.generator)
         self._rng = rng
 
+    @classmethod
+    def new_from_pem(cls, pem: str) -> "TestDevice":
+        """Load the device secret from an EC (P-256) private-key PEM
+        (device.rs TestDevice::new_from_pem; the browser client passes the
+        key this way — wasm_lib.rs:110)."""
+        from cryptography.hazmat.primitives.serialization import load_pem_private_key
+
+        key = load_pem_private_key(pem.encode(), password=None)
+        secret = key.private_numbers().private_value
+        return cls(secret=secret)
+
     def sign(self, digest: bytes) -> bytes:
         """Sign a prehashed digest; returns r||s (64 bytes)."""
         n = P256.n

@@ -492,7 +492,13 @@ def prove(
             bz1 = smsm_g1.run_host(zr, pk.b_g1_query)
             hq = smsm_g1.run_host(h, pk.h_query)
             lw = smsm_g1.run_host(zr[r1cs.num_instance :], pk.l_query)
-            bz2 = smsm_g2.run_host(zr, pk.b_g2_query)
+            if _native_ok():
+                # G2 stays on the host backend (the reference keeps G2 on
+                # CPU too); the sharded Fq2 program costs far more compile
+                # time than it saves at current sizes
+                bz2 = nb.msm_g2(zr, pk.b_g2_query)
+            else:
+                bz2 = smsm_g2.run_host(zr, pk.b_g2_query)
     elif _native_msm_prove():
         with timed(f"prove::MSMs native ({r1cs.num_vars} vars)"):
             zr = [x % R for x in z]
@@ -506,20 +512,28 @@ def prove(
         msm_g2 = get_g2_msm()
 
         # the 4 G1 MSMs run as one vmapped program; the G2 MSM separately
-        res4 = msm_g1.run_device_many(
-            [
-                _msm_problem(pk, "a_query", z, msm_g1),
-                _msm_problem(pk, "b_g1_query", z, msm_g1),
-                _msm_problem(pk, "h_query", h, msm_g1),
-                _msm_problem(pk, "l_query", z[r1cs.num_instance :], msm_g1),
-            ]
-        )
-        az, bz1, hq, lw = msm_g1.ctx.points_to_host(res4)
-        pg2 = _msm_problem(pk, "b_g2_query", z, msm_g2)
-        res2 = msm_g2.run_device(*pg2)
-        bz2 = msm_g2.ctx.points_to_host(
-            JPoints(res2.x[None], res2.y[None], res2.z[None])
-        )[0]
+        with timed(f"prove::MSMs G1 device ({r1cs.num_vars} vars)"):
+            res4 = msm_g1.run_device_many(
+                [
+                    _msm_problem(pk, "a_query", z, msm_g1),
+                    _msm_problem(pk, "b_g1_query", z, msm_g1),
+                    _msm_problem(pk, "h_query", h, msm_g1),
+                    _msm_problem(pk, "l_query", z[r1cs.num_instance :], msm_g1),
+                ]
+            )
+            az, bz1, hq, lw = msm_g1.ctx.points_to_host(res4)
+        with timed("prove::MSM G2"):
+            if _native_ok():
+                # the G2 MSM runs on the host backend even when G1 is on
+                # device: the Fq2 scan path is the slow executor and the
+                # reference keeps G2 on CPU too (prover.rs rayon)
+                bz2 = nb.msm_g2([x % R for x in z], pk.b_g2_query)
+            else:
+                pg2 = _msm_problem(pk, "b_g2_query", z, msm_g2)
+                res2 = msm_g2.run_device(*pg2)
+                bz2 = msm_g2.ctx.points_to_host(
+                    JPoints(res2.x[None], res2.y[None], res2.z[None])
+                )[0]
 
     vk = pk.vk
     # A = alpha + sum z_i A_i(t) + r*delta

@@ -321,12 +321,13 @@ class MSM:
     """
 
     def __init__(self, curve, c: int = 8, lanes: int = 256, small_cutoff: int = 1024,
-                 affine_c: int = 11):
+                 affine_c: int = 11, max_chunk: int = 1 << 19):
         self.ctx = curve if isinstance(curve, CurveCtx) else get_curve_ctx(curve)
         self.c = c
         self.lanes = lanes
         self.small_cutoff = small_cutoff
         self.affine_c = affine_c
+        self.max_chunk = max_chunk
         self._impls: dict = {}
         self._affine = None
         self._small = jax.jit(functools.partial(_small_msm_impl, self.ctx))
@@ -382,6 +383,34 @@ class MSM:
             return self._small(px, py, pvalid, scalars)
         am = self._affine_msm()
         if am is not None:
+            if npad > self.max_chunk:
+                # QAP-scale inputs: chunk to bound HBM footprint and compile
+                # time (one compiled program per chunk shape), then fold the
+                # per-chunk Jacobian results with log2(chunks) batched adds
+                ck = self.max_chunk
+                parts = [
+                    am.run(px[i : i + ck], py[i : i + ck],
+                           pvalid[i : i + ck], scalars[i : i + ck])
+                    for i in range(0, npad, ck)
+                ]
+                acc = JPoints(
+                    jnp.stack([p.x for p in parts]),
+                    jnp.stack([p.y for p in parts]),
+                    jnp.stack([p.z for p in parts]),
+                )
+                while acc.x.shape[0] > 1:
+                    h = acc.x.shape[0] // 2
+                    top = JPoints(acc.x[h : 2 * h], acc.y[h : 2 * h], acc.z[h : 2 * h])
+                    rest = JPoints(acc.x[2 * h :], acc.y[2 * h :], acc.z[2 * h :])
+                    lo = self.ctx.add(
+                        JPoints(acc.x[:h], acc.y[:h], acc.z[:h]), top
+                    )
+                    acc = JPoints(
+                        jnp.concatenate([lo.x, rest.x]),
+                        jnp.concatenate([lo.y, rest.y]),
+                        jnp.concatenate([lo.z, rest.z]),
+                    )
+                return JPoints(acc.x[0], acc.y[0], acc.z[0])
             return am.run(px, py, pvalid, scalars)
         digits, signs = digits_signed_jit(scalars, self.c)
         return self._get_impl(self._lanes_for(npad), many=False)(px, py, pvalid, digits, signs)

@@ -91,7 +91,10 @@ class ShardedMSM:
     def run_host(self, scalars, points):
         n = len(points)
         d = self.mesh.devices.size
-        npad = -(-n // d) * d
+        # shape-bucket to powers of two so nearby problem sizes (e.g. the 4
+        # Groth16 prove MSMs) share ONE compiled shard_map program
+        npad = 1 << (n - 1).bit_length() if n > 1 else 1
+        npad = -(-npad // d) * d
         points = list(points) + [None] * (npad - n)
         scalars = list(scalars) + [0] * (npad - n)
         Pts = self.ctx.points_to_device(points)

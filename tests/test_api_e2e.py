@@ -76,6 +76,32 @@ def test_end_to_end_rs256():
         # freshness window (lib.rs:635-643)
         ok_stale, _ = api.verify_show(vp, show2, spec, now_seconds=now + 400)
         assert not ok_stale
+        # role 3c: thin-client module (wasm_lib.rs:46 string surface) — show
+        # from b64url blobs at the real current time, verify at the real
+        # current time with the challenge-derived presentation message
+        import hashlib
+
+        from crescent_tpu import client as thin
+        from crescent_tpu.utils import ark
+        from crescent_tpu.utils.serialize import from_b64url, to_b64url
+
+        challenge = "nonce-12345"
+        proof_b64 = thin.create_show_proof_client(
+            to_b64url(ark.serialize(api.read_from_file(paths.client_state))),
+            to_b64url(ark.serialize(range_pk)),
+            open(paths.io_locations).read(),
+            "crescent://email_domain",
+            challenge,
+            to_b64url(spec.to_json().encode()),
+        )
+        spec_v = ProofSpec(
+            revealed=["email"],
+            presentation_message=hashlib.sha256(challenge.encode()).digest(),
+        )
+        show3 = ark.deserialize(from_b64url(proof_b64), api.ShowProof)
+        ok3, revealed3 = api.verify_show(vp, show3, spec_v)
+        assert ok3
+        assert json.loads(revealed3)["email_value"] == "contoso.com"
         # expired credential: exp - now negative -> range proof must fail to build
         cs3 = api.read_from_file(paths.client_state)
         try:
