@@ -112,20 +112,6 @@ class AffineMSM:
         return inv
 
     # -- one 4-ary reduction round --------------------------------------------
-    def _quads(self, pk, mn: int):
-        """Quad-head bookkeeping for packed keys pk: returns (hp, in_r, kseg)
-        with hp the source index of survivor j's quad head, in_r its
-        existence mask, kseg the segment key (pk >> 1) at the head."""
-        m = pk.shape[0]
-        i = jnp.arange(m, dtype=I32)
-        seg = pk >> 1
-        seg_start = jnp.concatenate([jnp.ones(1, bool), seg[1:] != seg[:-1]])
-        rank = i - _cummax(jnp.where(seg_start, i, 0))
-        head = (rank & 3) == 0
-        hp = jnp.argsort(jnp.where(head, 0, 1).astype(jnp.uint8),
-                         stable=True)[:mn].astype(I32)
-        return hp, head[hp], seg[hp]
-
     def _pair_levels(self, parts, kseg, in_r, mn: int):
         """Two levels of batched affine pair addition over the 4 quad parts.
         parts: [(x, y, valid)] * 4.  Returns survivor (x, y, valid)."""
@@ -145,34 +131,72 @@ class AffineMSM:
 
     def _round(self, pk, ex, ey, mn: int):
         """One 4-ary reduction round on survivor arrays (rounds >= 2).
-        pk: (m,) packed keys (key<<1 | valid); ex/ey: (16, m)."""
+        pk: (m,) packed keys (key<<1 | valid); ex/ey: (16, m).  Same
+        rank-mod-4 packing as _round1: one 1-D gather per quad slot."""
         m = pk.shape[0]
-        hp, in_r, kseg = self._quads(pk, mn)
+        i = jnp.arange(m, dtype=I32)
+        seg = pk >> 1
+        seg_start = jnp.concatenate([jnp.ones(1, bool), seg[1:] != seg[:-1]])
+        rank = i - _cummax(jnp.where(seg_start, i, 0))
+        head = (rank & 3) == 0
+        hp = jnp.argsort(jnp.where(head, 0, 1).astype(jnp.uint8),
+                         stable=True)[:mn].astype(I32)
+        kaug = seg << 3 | (rank.astype(U32) & 3) << 1 | (pk & 1)
+        kseg = seg[hp]
+        g0 = None
         parts = []
         for t in range(4):
             pos = jnp.minimum(hp + t, m - 1)
-            g = pk[pos]
-            ok = in_r & (hp + t < m) & ((g >> 1) == kseg)
+            g = kaug[pos]
+            if t == 0:
+                g0 = g
+            ok = (hp + t < m) & (((g >> 1) & 3) == t)
             parts.append((ex[:, pos], ey[:, pos], (ok & ((g & 1) != 0)).astype(U32)))
+        in_r = ((g0 >> 1) & 3) == 0
         nx, ny, nv = self._pair_levels(parts, kseg, in_r, mn)
         npk = jnp.where(in_r, kseg * 2 + nv, jnp.uint32(2 * self.sentinel))
         return npk, nx, ny
 
-    def _round1(self, spk, spay, tx, ty, mn: int, n: int):
+    def _round1(self, spk, spay, txy, mn: int, n: int):
         """First reduction round: coordinates come straight from the point
-        tables via the sorted payload (point_index<<1 | sign)."""
+        table via the sorted payload.
+
+        Gather-minimized: rank-in-segment mod 4 decides quad membership
+        (position hp+t belongs to quad j iff its rank ≡ t mod 4 — a new
+        segment inside the quad resets rank below t), so payload, rank bits
+        and validity pack into ONE word per entry:
+            paug = point_index << 4 | sign << 3 | (rank & 3) << 1 | valid
+        and each quad slot costs one 1-D gather plus one 32-row gather from
+        the packed [x ; y | x ; -y] table."""
         m = spk.shape[0]
-        hp, in_r, kseg = self._quads(spk, mn)
+        i = jnp.arange(m, dtype=I32)
+        seg = spk >> 1
+        seg_start = jnp.concatenate([jnp.ones(1, bool), seg[1:] != seg[:-1]])
+        rank = i - _cummax(jnp.where(seg_start, i, 0))
+        head = (rank & 3) == 0
+        hp = jnp.argsort(jnp.where(head, 0, 1).astype(jnp.uint8),
+                         stable=True)[:mn].astype(I32)
+        paug = (
+            (spay >> 1) << 4
+            | (spay & 1) << 3
+            | (rank.astype(U32) & 3) << 1
+            | (spk & 1)
+        )
+        kseg = seg[hp]
+        g0 = None
         parts = []
         for t in range(4):
             pos = jnp.minimum(hp + t, m - 1)
-            g = spk[pos]
-            pay = spay[pos]
-            pid = (pay >> 1).astype(I32)
-            ok = in_r & (hp + t < m) & ((g >> 1) == kseg)
-            x = tx[:, pid]
-            y = ty[:, pid + (pay & 1).astype(I32) * n]
-            parts.append((x, y, (ok & ((g & 1) != 0)).astype(U32)))
+            g = paug[pos]
+            if t == 0:
+                g0 = g
+            ok = (hp + t < m) & (((g >> 1) & 3) == t)
+            idx = (g >> 4).astype(I32) + ((g >> 3) & 1).astype(I32) * n
+            xy = txy[:, idx]
+            parts.append(
+                (xy[:NLIMB], xy[NLIMB:], (ok & ((g & 1) != 0)).astype(U32))
+            )
+        in_r = ((g0 >> 1) & 3) == 0  # hp points at a real quad head
         nx, ny, nv = self._pair_levels(parts, kseg, in_r, mn)
         npk = jnp.where(in_r, kseg * 2 + nv, jnp.uint32(2 * self.sentinel))
         return npk, nx, ny
@@ -271,8 +295,14 @@ class AffineMSM:
                 from .msm import scalar_digits_signed
 
                 digits, signs = scalar_digits_signed(scalars, self.c)
-                tx = px.T
-                ty = jnp.concatenate([py.T, ctx.fctx.neg_mod(py).T], axis=1)
+                xt = px.T
+                txy = jnp.concatenate(
+                    [
+                        jnp.concatenate([xt, xt], axis=1),
+                        jnp.concatenate([py.T, ctx.fctx.neg_mod(py).T], axis=1),
+                    ],
+                    axis=0,
+                )  # (32, 2n): column j -> (x, y); column n+j -> (x, -y)
                 valid = (digits != 0) & (pvalid[:, None] != 0)
                 keys = jnp.where(
                     valid,
@@ -292,7 +322,7 @@ class AffineMSM:
                 ex = ey = None
                 for i, mn in enumerate(rounds):
                     if i == 0:
-                        spk, ex, ey = self._round1(spk, spay, tx, ty, mn, n)
+                        spk, ex, ey = self._round1(spk, spay, txy, mn, n)
                     else:
                         spk, ex, ey = self._round(spk, ex, ey, mn)
                 return self._aggregate(spk, ex, ey)
