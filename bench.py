@@ -94,6 +94,13 @@ def main():
         "unit": "points/s",
         "vs_baseline": round(pps / BASELINE_POINTS_PER_SEC, 3),
     }
+    if os.environ.get("BENCH_SUITE") == "1":
+        # full criterion-equivalent suite -> stderr lines + BENCH_SUITE.json
+        # (the single stdout line below stays the driver contract)
+        from crescent_tpu.bench_suite import run_suite
+
+        run_suite([k for k in ("msm_g2", "ntt", "scalar_mul", "range",
+                               "show_verify", "groth16_prove")])
     print(json.dumps(out))
 
 

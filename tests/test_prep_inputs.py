@@ -170,3 +170,25 @@ def test_daystamp_matches_cpython():
     # age arithmetic
     days = daystamp.days_to_be_age(18, datetime.date(2026, 8, 17))
     assert days == (datetime.date(2026, 8, 17) - datetime.date(2008, 8, 17)).days
+
+
+def test_io_locations_from_circom_sym():
+    """Golden circom main.sym (docs.circom.io sym format: #s,#w,#c,fullname)
+    through the run_setup.sh:176 awk-equivalent filter."""
+    from crescent_tpu.credentials.structs import IOLocations
+
+    sym = "\n".join([
+        "1,1,0,main.digest_248",            # public output, wire 1
+        "2,2,0,main.exp_value",             # public output, wire 2
+        "3,3,1,main.modulus[0]",            # public input (issuer key limb)
+        "4,-1,1,main.sha.t1[0]",            # optimized away -> dropped
+        "5,17,2,main.internal_wire",        # beyond the public window -> dropped
+        "malformed line",                    # ignored
+    ])
+    io = IOLocations.from_circom_sym(sym, num_public_ios=3)
+    assert io.public_io_locations == {
+        "digest_248": 1, "exp_value": 2, "modulus[0]": 3,
+    }
+    assert io.get_public_key_indices() == [2]
+    # roundtrip through the csv wire format the Rust side reads
+    assert IOLocations.from_str(io.to_str()).public_io_locations == io.public_io_locations
