@@ -54,7 +54,15 @@ def main():
     m = MSM(BN254_G1, c=8, lanes=lanes, small_cutoff=0)
     px, py = jnp.asarray(px), jnp.asarray(py)
     valid = jnp.ones(n, dtype=jnp.uint32)
-    scalars = jnp.asarray(limb.ints_to_limbs([rng.randrange(BN254_G1.n) for _ in range(n)]))
+    # DISTINCT scalars per timed run: the device tunnel memoizes executions of
+    # identical (executable, argument-buffer) pairs, so re-running with the
+    # same arrays returns in ~1 ms and times nothing.  Pre-upload all sets.
+    scalar_sets = []
+    for _ in range(4):
+        s = jnp.asarray(limb.ints_to_limbs([rng.randrange(BN254_G1.n) for _ in range(n)]))
+        s.block_until_ready()
+        scalar_sets.append(s)
+    scalars = scalar_sets[0]
 
     t0 = time.time()
     r = m.run_device(px, py, valid, scalars)
@@ -64,7 +72,7 @@ def main():
     best = float("inf")
     for i in range(3):
         t0 = time.time()
-        r = m.run_device(px, py, valid, scalars)
+        r = m.run_device(px, py, valid, scalar_sets[i + 1])
         jax.block_until_ready(r)
         dt = time.time() - t0
         log(f"msm run {i}: {dt:.3f}s")

@@ -20,14 +20,19 @@ import time
 
 
 def _t(f, reps: int = 3):
-    """min wall-clock of reps calls (first call untimed warmup/compile)."""
+    """min wall-clock of reps calls (first call untimed warmup/compile).
+
+    `f` takes a rep index and must vary its device inputs with it: the
+    device tunnel memoizes executions of identical (executable, argument
+    buffers), so timing repeated calls on the same arrays measures nothing
+    (~1 ms returns)."""
     import jax
 
-    jax.block_until_ready(f())
+    jax.block_until_ready(f(0))
     best = float("inf")
-    for _ in range(reps):
+    for i in range(reps):
         t0 = time.time()
-        jax.block_until_ready(f())
+        jax.block_until_ready(f(1 + i))
         best = min(best, time.time() - t0)
     return best
 
@@ -58,8 +63,11 @@ def bench_msm_g1(log_n: int = 16) -> dict:
     m = MSM(BN254_G1, small_cutoff=0)
     px, py = jnp.asarray(px), jnp.asarray(py)
     valid = jnp.ones(n, dtype=U32)
-    sc = jnp.asarray(limb.ints_to_limbs([rng.randrange(BN254_G1.n) for _ in range(n)]))
-    dt = _t(lambda: m.run_device(px, py, valid, sc))
+    scs = [
+        jnp.asarray(limb.ints_to_limbs([rng.randrange(BN254_G1.n) for _ in range(n)]))
+        for _ in range(4)
+    ]
+    dt = _t(lambda i: m.run_device(px, py, valid, scs[i]))
     return {
         "metric": "bn254_g1_msm_points_per_sec",
         "value": round(n / dt, 1),
@@ -85,8 +93,11 @@ def bench_msm_g2(log_n: int = 12) -> dict:
     pts = [BN254G2.mul(rng.randrange(1, 1 << 20), base) for _ in range(n)]
     P = m.ctx.points_to_device(pts)
     valid = jnp.ones(n, dtype=U32)
-    sc = jnp.asarray(limb.ints_to_limbs([rng.randrange(BN254G2.n) for _ in range(n)]))
-    dt = _t(lambda: m.run_device(P.x, P.y, valid, sc))
+    scs = [
+        jnp.asarray(limb.ints_to_limbs([rng.randrange(BN254G2.n) for _ in range(n)]))
+        for _ in range(4)
+    ]
+    dt = _t(lambda i: m.run_device(P.x, P.y, valid, scs[i]))
     return {
         "metric": "bn254_g2_msm_points_per_sec",
         "value": round(n / dt, 1),
@@ -107,8 +118,11 @@ def bench_ntt(log_n: int = 20) -> dict:
     dom = ntt.get_domain(BN254_FR, n)
     fctx = get_ctx(BN254_FR)
     rng = random.Random(44)
-    x = jnp.asarray(fctx.to_mont_host([rng.randrange(BN254_FR) for _ in range(n)]))
-    dt = _t(lambda: dom.ntt(x))
+    xs = [
+        jnp.asarray(fctx.to_mont_host([rng.randrange(BN254_FR) for _ in range(n)]))
+        for _ in range(4)
+    ]
+    dt = _t(lambda i: dom.ntt(xs[i]))
     butterflies = (n // 2) * log_n
     return {
         "metric": "bn254_fr_ntt_butterflies_per_sec",
