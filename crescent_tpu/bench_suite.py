@@ -22,10 +22,11 @@ import time
 def _t(f, reps: int = 3):
     """min wall-clock of reps calls (first call untimed warmup/compile).
 
-    `f` takes a rep index and must vary its device inputs with it: the
-    device tunnel memoizes executions of identical (executable, argument
-    buffers), so timing repeated calls on the same arrays measures nothing
-    (~1 ms returns)."""
+    `f` takes a rep index in 0..reps (inclusive: index 0 is the warmup) and
+    must vary its device inputs with it: the device tunnel memoizes
+    executions of identical (executable, argument buffers), so timing
+    repeated calls on the same arrays measures nothing (~1 ms returns).
+    Callers that stage input sets must therefore provide reps+1 of them."""
     import jax
 
     jax.block_until_ready(f(0))

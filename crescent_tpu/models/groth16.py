@@ -71,9 +71,13 @@ def _sharded_prove():
         from ..parallel.sharded_msm import ShardedMSM, make_mesh
 
         mesh = make_mesh()
+        # window width: 8 is the TPU sweet spot; the CPU-backend dryrun sets
+        # 4 (bucket-plane work per fold shrinks 7x, and XLA:CPU executes the
+        # limb graphs near-serially, so plane size is the wall-clock)
+        c = int(os.environ.get("CRESCENT_SHARDED_C", "8"))
         _SHARDED_CACHE = (
-            ShardedMSM(get_curve_ctx(G1), mesh, c=8, lanes=16),
-            ShardedMSM(get_g2_ctx(), mesh, c=8, lanes=16),
+            ShardedMSM(get_curve_ctx(G1), mesh, c=c, lanes=16),
+            ShardedMSM(get_g2_ctx(), mesh, c=c, lanes=16),
         )
     return _SHARDED_CACHE
 

@@ -46,6 +46,9 @@ def init_distributed(
             + f" --xla_force_host_platform_device_count={local_device_count}"
         )
         jax.config.update("jax_platforms", "cpu")
+        import crescent_tpu
+
+        crescent_tpu.use_cpu_cache_dir()
     jax.distributed.initialize(
         coordinator_address=coordinator,
         num_processes=num_processes,

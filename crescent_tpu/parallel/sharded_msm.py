@@ -92,8 +92,11 @@ class ShardedMSM:
         n = len(points)
         d = self.mesh.devices.size
         # shape-bucket to powers of two so nearby problem sizes (e.g. the 4
-        # Groth16 prove MSMs) share ONE compiled shard_map program
+        # Groth16 prove MSMs) share ONE compiled shard_map program; floor at
+        # 4 points/device so tiny MSMs (dryrun gate, 2^4 dummy circuits)
+        # collapse onto a single compiled shape as well
         npad = 1 << (n - 1).bit_length() if n > 1 else 1
+        npad = max(npad, 4 * d)
         npad = -(-npad // d) * d
         points = list(points) + [None] * (npad - n)
         scalars = list(scalars) + [0] * (npad - n)

@@ -52,6 +52,7 @@ class R1CSFile:
             num_instance=self.num_instance,
             num_witness=self.n_wires - self.num_instance,
             constraints=self.constraints,
+            field=self.prime,
         )
 
 

@@ -431,3 +431,20 @@ def run_all(base_path: str, ports: dict | None = None) -> dict:
         ports[name] = srv.server_address[1]
         out[name] = (srv, ports[name])
     return out
+
+
+if __name__ == "__main__":
+    # standalone deployment on the reference ports (8001-8004), e.g. for
+    # driving the sample/client browser extension by hand:
+    #   python -m crescent_tpu.cli gen-fixtures zksetup --name rs256
+    #   python -m crescent_tpu.sample.services test-vectors/rs256/
+    import sys
+
+    base = sys.argv[1] if len(sys.argv) > 1 else "test-vectors/rs256/"
+    started = run_all(base)
+    for name, (_, port) in started.items():
+        print(f"{name}: http://127.0.0.1:{port}")
+    try:
+        threading.Event().wait()
+    except KeyboardInterrupt:
+        pass

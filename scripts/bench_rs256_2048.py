@@ -32,6 +32,7 @@ def main() -> int:
 
         shutil.rmtree("test-vectors/rs256", ignore_errors=True)
     results = {"name": "rs256", "max_cred_len": 2048, "phases": {}}
+    final_rc = 0
     for phase in ("gen-fixtures", "zksetup", "prove", "show", "verify"):
         t0 = time.time()
         rc = cli.main([phase, "--name", "rs256"])
@@ -44,17 +45,19 @@ def main() -> int:
         print(f"[bench_rs256_2048] {phase}: {dt:.1f}s rc={rc} "
               f"peak_rss={rss_gb():.2f}GB", flush=True)
         if rc != 0:
+            final_rc = rc
             break
     # confirm the config really is at reference scale
     try:
         cfg = json.load(open("test-vectors/rs256/config.json"))
-        results["max_cred_len"] = cfg.get("max_cred_len")
-    except OSError:
+        if "max_cred_len" in cfg:
+            results["max_cred_len"] = cfg["max_cred_len"]
+    except (OSError, ValueError):
         pass
     with open("BENCH_RS256_2048.json", "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps(results))
-    return 0
+    return final_rc
 
 
 if __name__ == "__main__":
