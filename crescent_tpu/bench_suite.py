@@ -247,8 +247,17 @@ def run_suite(names=None, out_path: str = "BENCH_SUITE.json") -> dict:
         results[name] = r
         print(json.dumps(r), file=sys.stderr, flush=True)
     if out_path:
+        # merge into any existing file so single-bench reruns don't clobber
+        # the rest of the suite's numbers
+        merged = {}
+        try:
+            with open(out_path) as f:
+                merged = json.load(f)
+        except (OSError, ValueError):
+            pass
+        merged.update(results)
         with open(out_path, "w") as f:
-            json.dump(results, f, indent=1)
+            json.dump(merged, f, indent=1)
     return results
 
 

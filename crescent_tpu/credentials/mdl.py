@@ -569,6 +569,14 @@ class MDLFrontend(_MDLIOBase):
             e_ind, _, _ = jc.interval_indicator(cs, el, er, M)
             jc.match_substring(cs, message, encoded, e_ind, el, er, 31)
 
+            # Layout parity note: the fixed date byte positions below are the
+            # REFERENCE's layout, not an extra constraint of ours —
+            # prepare_mdl_setup.py:134 hardcodes "year starts at position
+            # 85 = 127 - 32 - 10" in its generated circom, and
+            # prepare-prover-input.rs:528-531 panics unless the padded
+            # preimage is exactly 128 bytes (our salt-tuned 95 content
+            # bytes).  Integer claims are a superset: the reference has
+            # none ("FIXME: add support for numbers?", prepare_mdl_setup.py).
             if entry.get("reveal_digest", False):
                 l = cs.alloc(val(f"{name}_value_l"))
                 r = cs.alloc(val(f"{name}_value_r"))

@@ -45,7 +45,9 @@ def _pallas_for(ctx: CurveCtx):
     """PallasEC instance if the fused path applies to this curve, else None."""
     import os
 
-    if not hasattr(ctx.fctx, "modulus"):  # QuadCtx (G2/Fq2): XLA path
+    if hasattr(ctx.fctx, "base"):  # QuadCtx (G2/Fq2): XLA path
+        # (QuadCtx also exposes .modulus — the base characteristic — so a
+        # hasattr("modulus") check no longer distinguishes it)
         return None
     enabled = USE_PALLAS
     if enabled is None:
