@@ -70,13 +70,16 @@ def main():
     log(f"msm first call (compile+run): {time.time()-t0:.1f}s")
 
     best = float("inf")
-    for i in range(3):
-        t0 = time.time()
-        r = m.run_device(px, py, valid, scalar_sets[i + 1])
-        jax.block_until_ready(r)
-        dt = time.time() - t0
-        log(f"msm run {i}: {dt:.3f}s")
-        best = min(best, dt)
+    from crescent_tpu.utils.trace import jax_profile
+
+    with jax_profile():  # per-kernel xprof trace when CRESCENT_JAX_TRACE=<dir>
+        for i in range(3):
+            t0 = time.time()
+            r = m.run_device(px, py, valid, scalar_sets[i + 1])
+            jax.block_until_ready(r)
+            dt = time.time() - t0
+            log(f"msm run {i}: {dt:.3f}s")
+            best = min(best, dt)
 
     # On-device correctness gate: tests/ force the CPU backend, so they never
     # exercise real-TPU numerics (which bit-exactness depends on — e.g. MXU

@@ -306,8 +306,29 @@ def cmd_show(args):
     with open(paths.proof_spec + ".resolved", "w") as f:
         f.write(spec.to_json())
     blob = open(paths.show_proof, "rb").read()
+    _print_show_proof_size(sp)
     print(f"show completed in {time.time()-t0:.1f}s; proof size {len(blob)} bytes -> {paths.show_proof}")
     return 0
+
+
+def _print_show_proof_size(sp) -> int:
+    """Per-component proof-size breakdown (main.rs:138-166
+    show_proof_size): Groth16 + expiry range + per-attribute ranges +
+    device proof."""
+    from crescent_tpu.utils import ark
+
+    parts = [("Groth16 proof", len(ark.serialize(sp.show_groth16))),
+             ("range proof", len(ark.serialize(sp.show_range_exp)))]
+    parts += [
+        (f"range proof{i}", len(ark.serialize(r)))
+        for i, r in enumerate(sp.show_range_attr)
+    ]
+    if sp.device_proof is not None:
+        parts.append(("device signature proof", len(ark.serialize(sp.device_proof))))
+    total = sum(n for _, n in parts)
+    breakdown = " + ".join(f"{n} ({label})" for label, n in parts)
+    print(f"Show proof size: {breakdown} = {total} bytes total")
+    return total
 
 
 def cmd_verify(args):

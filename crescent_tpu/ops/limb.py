@@ -55,11 +55,17 @@ def limbs_to_int(a) -> int:
     return sum(int(v) << (LIMB_BITS * i) for i, v in enumerate(a.reshape(-1)))
 
 def ints_to_limbs(xs, nlimb: int = NLIMB) -> np.ndarray:
-    """Batch convert: list/array of ints -> (n, nlimb) uint32."""
-    out = np.zeros((len(xs), nlimb), dtype=np.uint32)
-    for j, x in enumerate(xs):
-        out[j] = int_to_limbs(int(x), nlimb)
-    return out
+    """Batch convert: list/array of ints -> (n, nlimb) uint32.
+
+    One C-level to_bytes per int + a bulk frombuffer: ~20x faster than a
+    per-limb Python loop, which dominated QAP-scale prove (8.8M SRS points
+    -> 140M Python shift/mask ops)."""
+    if len(xs) == 0:
+        return np.zeros((0, nlimb), dtype=np.uint32)
+    nbytes = 2 * nlimb  # LIMB_BITS == 16: limbs are little-endian u16 words
+    buf = b"".join(int(x).to_bytes(nbytes, "little") for x in xs)
+    a = np.frombuffer(buf, dtype="<u2").reshape(len(xs), nlimb)
+    return a.astype(np.uint32)
 
 def limbs_to_ints(a) -> list[int]:
     a = np.asarray(a)

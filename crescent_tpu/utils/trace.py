@@ -69,3 +69,23 @@ def timed_fn(label: str | None = None):
         return wrapper
 
     return deco
+
+
+@contextlib.contextmanager
+def jax_profile(out_dir: str | None = None):
+    """XLA-level profiler trace (SURVEY §5: "jax profiler traces + per-kernel
+    ops/s counters" on top of the reference's wall-clock timers).
+
+    Enabled when `out_dir` is given or CRESCENT_JAX_TRACE names a directory;
+    wraps jax.profiler.trace so per-kernel device timelines land as a
+    TensorBoard/xprof trace.  No-op otherwise, so call sites can wrap hot
+    phases unconditionally.
+    """
+    out_dir = out_dir or os.environ.get("CRESCENT_JAX_TRACE")
+    if not out_dir:
+        yield
+        return
+    import jax
+
+    with jax.profiler.trace(out_dir):
+        yield
