@@ -323,13 +323,20 @@ class MSM:
     """
 
     def __init__(self, curve, c: int = 8, lanes: int = 256, small_cutoff: int = 1024,
-                 affine_c: int = 11, max_chunk: int = 1 << 19):
+                 affine_c: int = 11, max_chunk: int = 1 << 16):
+        import os
+
         self.ctx = curve if isinstance(curve, CurveCtx) else get_curve_ctx(curve)
         self.c = c
         self.lanes = lanes
         self.small_cutoff = small_cutoff
         self.affine_c = affine_c
-        self.max_chunk = max_chunk
+        # QAP-scale MSMs run as a fold over fixed-shape chunks; 2^16 is the
+        # bench shape (always warm in the compile cache) and the largest
+        # program the axon tunnel compiles reliably — its compile RPC was
+        # observed to hang indefinitely on the 2^19 variant.  Override with
+        # CRESCENT_MSM_CHUNK.
+        self.max_chunk = int(os.environ.get("CRESCENT_MSM_CHUNK", str(max_chunk)))
         self._impls: dict = {}
         self._affine = None
         self._small = jax.jit(functools.partial(_small_msm_impl, self.ctx))

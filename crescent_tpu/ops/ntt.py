@@ -76,8 +76,20 @@ class NTTDomain:
         self._bwd = jax.jit(functools.partial(self._transform, inverse=True))
 
     # -- device -------------------------------------------------------------
+    def _use_pallas(self) -> bool:
+        """Limb-major fused-butterfly path: default on TPU, forceable for
+        tests with CRESCENT_NTT_PALLAS=1/0."""
+        import os
+
+        env = os.environ.get("CRESCENT_NTT_PALLAS")
+        if env is not None:
+            return env != "0"
+        return jax.default_backend() == "tpu"
+
     def _transform(self, x: jax.Array, inverse: bool) -> jax.Array:
         """x: (n, 16) Montgomery coeffs -> (n, 16) Montgomery evals."""
+        if self._use_pallas():
+            return self._transform_limb_major(x, inverse)
         ctx = self.ctx
         n = self.n
         x = jnp.take(x, self.perm, axis=0)
@@ -95,6 +107,40 @@ class NTTDomain:
         if inverse:
             x = ctx.mont_mul(x, jnp.broadcast_to(self.n_inv_mont, x.shape))
         return x
+
+    def _transform_limb_major(self, x: jax.Array, inverse: bool) -> jax.Array:
+        """Fused-butterfly stages on (16, n) limb-major planes.
+
+        Each stage is ONE pallas launch (pallas_ec.butterfly): the twiddle
+        product, modular add and sub all stay in VMEM, vs the batch-major
+        XLA path that streams the Montgomery routing-matmul scratch
+        (~2 GB/stage at 2^20) through HBM.  50 ms/stage -> ~1 ms/stage."""
+        from .pallas_ec import get_pallas_ec
+
+        pec = get_pallas_ec(self.ctx.modulus, 0)
+        n = self.n
+        x = jnp.take(x, self.perm, axis=0).T  # (16, n) limb-major
+        tws = self.tw_inv if inverse else self.tw_fwd
+        for s in range(self.logn):
+            half = 1 << s
+            blocks = n // (2 * half)
+            v = x.reshape(NLIMB, blocks, 2, half)
+            a = v[:, :, 0, :].reshape(NLIMB, n // 2)
+            b = v[:, :, 1, :].reshape(NLIMB, n // 2)
+            twp = jnp.tile(tws[s].T, (1, blocks)) if half > 1 else jnp.broadcast_to(
+                tws[s].T, (NLIMB, n // 2)
+            )
+            # column blk*half + j needs twiddle j — but jnp.tile repeats the
+            # (16, half) plane blocks times along the minor axis, giving
+            # exactly that layout
+            o0, o1 = pec.butterfly(a, b, twp)
+            x = jnp.stack(
+                [o0.reshape(NLIMB, blocks, half), o1.reshape(NLIMB, blocks, half)],
+                axis=2,
+            ).reshape(NLIMB, n)
+        if inverse:
+            x = pec.mul(x, jnp.broadcast_to(self.n_inv_mont[:, None], (NLIMB, n)))
+        return x.T
 
     def ntt(self, x: jax.Array) -> jax.Array:
         """coefficients -> evaluations on the domain (both Montgomery form)."""

@@ -445,6 +445,16 @@ class PallasEC:
         f, _ = self._field(consts, mninv, mn)
         o[:] = f.mont_mul(x[:], y[:])
 
+    def _bfly_kernel(self, consts, mninv, mn, a, b, tw, o0, o1):
+        """NTT butterfly: (a, b, tw) -> (a + b*tw, a - b*tw), fused so the
+        twiddle product's intermediates never touch HBM (the XLA batch-major
+        formulation streamed ~GBs of routing-matmul scratch per stage)."""
+        f, _ = self._field(consts, mninv, mn)
+        t = f.mont_mul(b[:], tw[:])
+        aa = a[:]
+        o0[:] = f.add(aa, t)
+        o1[:] = f.sub(aa, t)
+
     def _inv_kernel(self, consts, mninv, mn, ebits, x, o):
         """Batched Fermat inversion x^(N-2) with an in-kernel fori_loop over
         the exponent bits (MSB first; one launch, ~512 in-VMEM muls/lane)."""
@@ -550,6 +560,15 @@ class PallasEC:
         call = self._get_call("mul", self._mul_kernel, npad, 2, out_rows=(L,))
         (o,) = call(self.consts, self.m_ninv, self.m_n, x, y)
         return o[:, :n]
+
+    def butterfly(self, a, b, tw):
+        """Radix-2 NTT butterfly on (16,N) planes: (a+b*tw, a-b*tw)."""
+        n = a.shape[1]
+        npad = -n % self.block + n
+        a, b, tw = self._pad([a, b, tw], n, npad)
+        call = self._get_call("bfly", self._bfly_kernel, npad, 3, out_rows=(L, L))
+        o0, o1 = call(self.consts, self.m_ninv, self.m_n, a, b, tw)
+        return o0[:, :n], o1[:, :n]
 
     def inv(self, x):
         """Batched Fermat inversion on (16,N) planes; x must be nonzero
