@@ -448,19 +448,29 @@ def _compute_h(r1cs: R1CS, z: list[int], dom: ntt.NTTDomain) -> list[int]:
     with timed("prove::matvec Az/Bz/Cz"):
         a, b, c = _matvec_evals(r1cs, z, dom)
     with timed(f"prove::NTT h(x) (domain 2^{dom.n.bit_length() - 1})"):
-        am = jnp.asarray(ctx.to_mont_host(a))
-        bm = jnp.asarray(ctx.to_mont_host(b))
-        cm = jnp.asarray(ctx.to_mont_host(c))
+        if jax.default_backend() == "tpu":
+            # standard-form u16 upload + device Montgomery conversion (the
+            # host bigint path costs seconds and 2x the tunnel bytes)
+            am = ctx.to_mont(limb.upload_limbs(limb.ints_to_limbs(a)))
+            bm = ctx.to_mont(limb.upload_limbs(limb.ints_to_limbs(b)))
+            cm = ctx.to_mont(limb.upload_limbs(limb.ints_to_limbs(c)))
+        else:
+            am = jnp.asarray(ctx.to_mont_host(a))
+            bm = jnp.asarray(ctx.to_mont_host(b))
+            cm = jnp.asarray(ctx.to_mont_host(c))
         g = Fr.multiplicative_generator
         ac = dom.coset_ntt(dom.intt(am), g)
         bc = dom.coset_ntt(dom.intt(bm), g)
         cc = dom.coset_ntt(dom.intt(cm), g)
-        prod = ctx.sub_mod(ctx.mont_mul(ac, bc), cc)
+        prod = ctx.sub_mod(ntt.elemwise_mont_mul(ctx, ac, bc), cc)
         zinv = pow(dom.vanishing_on_coset(g), -1, R)
         zinv_m = jnp.asarray(ctx.to_mont_host([zinv])[0])
-        hc = ctx.mont_mul(prod, jnp.broadcast_to(zinv_m, prod.shape))
+        hc = ntt.elemwise_mont_mul(
+            ctx, prod, jnp.broadcast_to(zinv_m, prod.shape)
+        )
         h = dom.coset_intt(hc, g)
-        h_ints = ctx.from_mont_host(np.asarray(h))
+        # download as u16 (values < 2^16): halves the tunnel transfer
+        h_ints = ctx.from_mont_host(np.asarray(jax.device_get(h.astype(jnp.uint16))))
     assert h_ints[-1] == 0, "h degree bound violated (unsatisfied R1CS?)"
     return h_ints[:-1]
 
@@ -468,7 +478,7 @@ def _compute_h(r1cs: R1CS, z: list[int], dom: ntt.NTTDomain) -> list[int]:
 def _msm_problem(pk: ProvingKey, name: str, scalars: list[int], msm_obj: MSM):
     px, py, valid = pk.device_table(name, msm_obj)
     n = len(scalars)
-    sc = jnp.asarray(limb.ints_to_limbs([s % R for s in scalars]))
+    sc = limb.upload_limbs(limb.ints_to_limbs([s % R for s in scalars]))
     return (px[:n], py[:n], valid[:n], sc)
 
 

@@ -62,6 +62,23 @@ class CurveCtx:
     def points_to_device(self, pts) -> JPoints:
         """Affine host points [(x,y) | None, ...] -> batched Jacobian arrays."""
         f = self.fctx
+        if not hasattr(f, "base") and jax.default_backend() == "tpu":
+            # TPU fast path: ship standard-form u16 limb planes (half the
+            # tunnel bytes, no host bigint mulmods) and Montgomery-convert
+            # on device; Z built on device from the validity vector.
+            from . import limb as limb_mod
+
+            xs = [0 if p is None else p[0] for p in pts]
+            ys = [f.host_one if p is None else p[1] for p in pts]
+            ok = np.asarray([0 if p is None else 1 for p in pts], dtype=np.uint16)
+            dx = f.to_mont(limb_mod.upload_limbs(limb_mod.ints_to_limbs(xs)))
+            dy = f.to_mont(limb_mod.upload_limbs(limb_mod.ints_to_limbs(ys)))
+            v = jnp.asarray(ok).astype(jnp.uint32)
+            one = jnp.asarray(f.to_mont_host([f.host_one])[0])
+            dz = jnp.where(
+                v[:, None] != 0, jnp.broadcast_to(one, dx.shape), jnp.uint32(0)
+            )
+            return JPoints(dx, dy, dz)
         xs = [f.host_zero if p is None else p[0] for p in pts]
         ys = [f.host_one if p is None else p[1] for p in pts]
         zs = [f.host_zero if p is None else f.host_one for p in pts]

@@ -67,9 +67,28 @@ def ints_to_limbs(xs, nlimb: int = NLIMB) -> np.ndarray:
     a = np.frombuffer(buf, dtype="<u2").reshape(len(xs), nlimb)
     return a.astype(np.uint32)
 
-def limbs_to_ints(a) -> list[int]:
+def upload_limbs(a: np.ndarray) -> jax.Array:
+    """Upload 16-bit limb planes at half the wire cost: the u32 arrays only
+    carry sub-2^16 values, so ship u16 and widen on device (an eager cast,
+    so downstream jit signatures stay u32 — no recompiles).  Matters on the
+    axon TPU tunnel, where QAP-scale SRS uploads are minutes of transfer."""
     a = np.asarray(a)
-    return [limbs_to_int(row) for row in a.reshape(-1, a.shape[-1])]
+    assert not (a >> LIMB_BITS).any(), "upload_limbs: limbs must be < 2^16"
+    return jnp.asarray(a.astype(np.uint16)).astype(U32)
+
+
+def limbs_to_ints(a) -> list[int]:
+    """(n, nlimb) limbs -> list of ints (one C-level from_bytes per row)."""
+    a = np.asarray(a)
+    a = a.reshape(-1, a.shape[-1])
+    if (a >> LIMB_BITS).any():  # unnormalized accumulator limbs: exact path
+        return [limbs_to_int(row) for row in a]
+    nbytes = 2 * a.shape[-1]
+    buf = a.astype("<u2").tobytes()  # LIMB_BITS == 16: little-endian words
+    return [
+        int.from_bytes(buf[i * nbytes : (i + 1) * nbytes], "little")
+        for i in range(a.shape[0])
+    ]
 
 
 # ---------------------------------------------------------------------------

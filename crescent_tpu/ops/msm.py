@@ -323,7 +323,7 @@ class MSM:
     """
 
     def __init__(self, curve, c: int = 8, lanes: int = 256, small_cutoff: int = 1024,
-                 affine_c: int = 11, max_chunk: int = 1 << 16):
+                 affine_c: int = 11, max_chunk: int = 1 << 17):
         import os
 
         self.ctx = curve if isinstance(curve, CurveCtx) else get_curve_ctx(curve)
@@ -331,10 +331,11 @@ class MSM:
         self.lanes = lanes
         self.small_cutoff = small_cutoff
         self.affine_c = affine_c
-        # QAP-scale MSMs run as a fold over fixed-shape chunks; 2^16 is the
-        # bench shape (always warm in the compile cache) and the largest
-        # program the axon tunnel compiles reliably — its compile RPC was
-        # observed to hang indefinitely on the 2^19 variant.  Override with
+        # QAP-scale MSMs run as a fold over fixed-shape chunks.  2^17 is the
+        # largest program the axon tunnel compiles reliably (2^16: 15 min,
+        # 2^17: 11 min, 2^19: compile RPC hangs indefinitely — reproduced
+        # twice); per-chunk throughput is flat (~210k pts/s) so fewer,
+        # bigger chunks just shave dispatch overhead.  Override with
         # CRESCENT_MSM_CHUNK.
         self.max_chunk = int(os.environ.get("CRESCENT_MSM_CHUNK", str(max_chunk)))
         self._impls: dict = {}

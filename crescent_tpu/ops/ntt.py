@@ -27,6 +27,24 @@ from . import limb
 from .limb import NLIMB, U32, ModCtx
 
 
+def elemwise_mont_mul(ctx: ModCtx, x: jax.Array, y: jax.Array) -> jax.Array:
+    """Elementwise Montgomery multiply of (n, 16) batch-major planes.
+
+    On TPU this routes through the fused limb-major pallas kernel: the
+    batch-major XLA formulation streams the Montgomery routing-matmul
+    scratch — (n, 512) f32, ~4 GB at 2^21 — through HBM per multiply."""
+    import os
+
+    env = os.environ.get("CRESCENT_NTT_PALLAS")
+    use_pallas = env != "0" if env is not None else jax.default_backend() == "tpu"
+    if use_pallas:
+        from .pallas_ec import get_pallas_ec
+
+        pec = get_pallas_ec(ctx.modulus, 0)
+        return pec.mul(x.T, y.T).T
+    return ctx.mont_mul(x, y)
+
+
 def bit_reverse_perm(n: int) -> np.ndarray:
     bits = n.bit_length() - 1
     idx = np.arange(n)
@@ -152,10 +170,22 @@ class NTTDomain:
 
     def coset_scale(self, x: jax.Array, g: int) -> jax.Array:
         """multiply coefficient i by g^i (host-known g)."""
+        return elemwise_mont_mul(self.ctx, x, self._coset_powers(g))
+
+    @functools.lru_cache(maxsize=8)
+    def _coset_powers(self, g: int) -> jax.Array:
+        """Montgomery-form [g^0 .. g^(n-1)] device plane, cached per g.
+
+        The naive per-i `pow` costs O(n log n) host bigint muls (~12 s at
+        2^21, paid on EVERY prove before this was cached); the running
+        product is O(n) and the array uploads once."""
         p = self.ctx.modulus
-        powers = [pow(g, i, p) for i in range(self.n)]
-        gp = jnp.asarray(self.ctx.to_mont_host(powers))
-        return self.ctx.mont_mul(x, gp)
+        powers = [1] * self.n
+        acc = 1
+        for i in range(1, self.n):
+            acc = acc * g % p
+            powers[i] = acc
+        return jnp.asarray(self.ctx.to_mont_host(powers))
 
     def coset_ntt(self, x: jax.Array, g: int) -> jax.Array:
         return self.ntt(self.coset_scale(x, g))
