@@ -58,6 +58,8 @@ def _lib():
         lib.wvm_mem_size.argtypes = [ctypes.c_void_p]
         lib.wvm_mem_read.restype = ctypes.c_int32
         lib.wvm_mem_read.argtypes = [ctypes.c_void_p, ctypes.c_uint64, u8p, ctypes.c_uint64]
+        lib.wvm_set_fuel.restype = None
+        lib.wvm_set_fuel.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
         return lib
     except Exception:
         return None
@@ -105,6 +107,11 @@ class WasmInstance:
                 err.value.decode(), exception_code=int(lib.wvm_exception(self._h))
             )
         return [int(out[i]) for i in range(rc)]
+
+    def set_fuel(self, fuel: int) -> None:
+        """Bound the instruction budget per call (0 = unlimited); a call
+        exceeding it traps instead of looping forever on hostile modules."""
+        self._lib.wvm_set_fuel(self._h, fuel)
 
     def mem_read(self, addr: int, n: int) -> bytes:
         dst = (ctypes.c_uint8 * n)()

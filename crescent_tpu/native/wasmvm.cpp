@@ -100,6 +100,11 @@ struct FuncType {
     std::vector<uint8_t> params, results;
 };
 
+// function results are marshalled through fixed uint64_t[ ] buffers in
+// invoke/run_func/wvm_call; cap arity at parse time so a hostile module
+// cannot overflow them (circom emits <= 1 result everywhere).
+constexpr size_t MAX_RESULTS = 8;
+
 struct FuncBody {
     uint32_t type_idx = 0;
     std::vector<uint8_t> local_types;  // expanded
@@ -144,6 +149,10 @@ struct VM {
     int64_t last_exception = -1;
     std::string last_error;
     uint32_t call_depth = 0;
+    // instruction budget per wvm_call; a hostile/mutated module can loop
+    // forever, so execution must be boundable (wvm_set_fuel)
+    uint64_t fuel_limit = UINT64_MAX;
+    uint64_t fuel = UINT64_MAX;
 
     Reader at(size_t off) const {
         Reader r{bytes.data() + off, bytes.data() + bytes.size(), bytes.data()};
@@ -202,10 +211,18 @@ void build_ctrl(VM& vm, uint32_t fidx) {
             case 0x3a: case 0x3b: case 0x3c: case 0x3d: case 0x3e:
                 r.u32leb(); r.u32leb(); break;               // mem ops: align+off
             case 0x3f: case 0x40: r.u8(); break;             // memory.size/grow
+            case 0x1c: {                                     // typed select
+                uint32_t n = r.u32leb();
+                for (uint32_t i = 0; i < n; i++) r.u8();     // valtype vector
+                break;
+            }
             case 0x41: r.s64leb(); break;                    // i32.const
             case 0x42: r.s64leb(); break;                    // i64.const
             case 0x43: r.skip(4); break;                     // f32.const
             case 0x44: r.skip(8); break;                     // f64.const
+            case 0xd0: r.u8(); break;                        // ref.null: type immediate
+                // (runtime traps on execution; prescan must still skip the
+                // immediate so offset tables stay in sync)
             case 0xfc: {                                     // prefix
                 uint32_t sub = r.u32leb();
                 if (sub == 10) { r.u8(); r.u8(); }           // memory.copy
@@ -215,7 +232,7 @@ void build_ctrl(VM& vm, uint32_t fidx) {
                 break;
             }
             default:
-                if (op > 0xc4 && op != 0xd0)
+                if (op > 0xc4)
                     throw Trap("unknown opcode in prescan: " + std::to_string(op));
                 break;  // all remaining ops have no immediates
         }
@@ -232,8 +249,9 @@ uint64_t run_func(VM& vm, uint32_t fidx, const uint64_t* args, uint32_t nargs,
 
 // invoke either an import stub or a wasm function, used by call/call_indirect
 void invoke(VM& vm, uint32_t fidx, std::vector<uint64_t>& stack) {
+    if (fidx >= vm.funcs.size()) throw Trap("call index out of range");
     const FuncBody& f = vm.funcs[fidx];
-    const FuncType& ft = vm.types[f.type_idx];
+    const FuncType& ft = vm.types.at(f.type_idx);
     uint32_t np = (uint32_t)ft.params.size();
     if (stack.size() < np) throw Trap("stack underflow at call");
     std::vector<uint64_t> args(stack.end() - np, stack.end());
@@ -244,6 +262,23 @@ void invoke(VM& vm, uint32_t fidx, std::vector<uint64_t>& stack) {
             vm.last_exception = code;
             throw Trap("wasm exceptionHandler(" + std::to_string(code) + ")", code);
         }
+        // Only the circom runtime ABI's log/message hooks may no-op
+        // (witness_calculator.rs:76-86); any other host import would
+        // silently compute a wrong witness, so trap instead.
+        static const char* kRuntimeHooks[] = {
+            "error", "log", "logSetSignal", "logGetSignal",
+            "logStartComponent", "logFinishComponent",
+            "showSharedRWMemory", "printErrorMessage", "writeBufferMessage",
+        };
+        bool known = f.import_mod == "runtime";
+        if (known) {
+            known = false;
+            for (const char* h : kRuntimeHooks)
+                if (f.import_name == h) { known = true; break; }
+        }
+        if (!known)
+            throw Trap("unsupported host import " + f.import_mod + "." +
+                       f.import_name);
         // log/message/error hooks: no-op, results (if any) are zero
         for (size_t i = 0; i < ft.results.size(); i++) stack.push_back(0);
         return;
@@ -271,8 +306,9 @@ void mem_store(VM& vm, uint64_t addr, T v) {
 uint64_t run_func(VM& vm, uint32_t fidx, const uint64_t* args, uint32_t nargs,
                   uint64_t* results, uint32_t* nresults) {
     if (++vm.call_depth > 20000) { vm.call_depth--; throw Trap("call stack exhausted"); }
+    if (fidx >= vm.funcs.size()) throw Trap("function index out of range");
     const FuncBody& f = vm.funcs[fidx];
-    const FuncType& ft = vm.types[f.type_idx];
+    const FuncType& ft = vm.types.at(f.type_idx);
     if (nargs != ft.params.size()) throw Trap("arg count mismatch");
     if (!vm.ctrl.count(fidx)) build_ctrl(vm, fidx);
     CtrlInfo& ci = vm.ctrl[fidx];
@@ -282,6 +318,19 @@ uint64_t run_func(VM& vm, uint32_t fidx, const uint64_t* args, uint32_t nargs,
 
     std::vector<uint64_t> stack;
     stack.reserve(64);
+    // no validation pass runs before execution, so every stack access must
+    // be checked — a malformed module underflowing the value stack must
+    // trap, not corrupt memory
+    auto pop = [&stack]() -> uint64_t {
+        if (stack.empty()) throw Trap("value stack underflow");
+        uint64_t v = stack.back();
+        stack.pop_back();
+        return v;
+    };
+    auto top = [&stack]() -> uint64_t& {
+        if (stack.empty()) throw Trap("value stack underflow");
+        return stack.back();
+    };
     std::vector<Label> labels;
     labels.push_back({(uint32_t)f.code_end, 0, (uint32_t)ft.results.size(), false});
 
@@ -292,6 +341,8 @@ uint64_t run_func(VM& vm, uint32_t fidx, const uint64_t* args, uint32_t nargs,
         if (depth >= labels.size()) throw Trap("br depth out of range");
         Label& L = labels[labels.size() - 1 - depth];
         uint32_t arity = L.arity;
+        if (stack.size() < arity || stack.size() < L.stack_h + arity)
+            throw Trap("value stack underflow at br");
         // carry top `arity` values, reset stack to label height
         for (uint32_t i = 0; i < arity; i++)
             stack[L.stack_h + i] = stack[stack.size() - arity + i];
@@ -304,6 +355,7 @@ uint64_t run_func(VM& vm, uint32_t fidx, const uint64_t* args, uint32_t nargs,
 
     for (;;) {
         if (r.p >= code_end_p) break;  // fell off the end = return
+        if (--vm.fuel == 0) throw Trap("instruction budget exhausted");
         uint32_t off = (uint32_t)r.off();
         uint8_t op = r.u8();
         switch (op) {
@@ -329,7 +381,7 @@ uint64_t run_func(VM& vm, uint32_t fidx, const uint64_t* args, uint32_t nargs,
             case 0x04: {       // if
                 int64_t bt = r.s64leb();
                 uint32_t end = ci.end_of.at(off);
-                uint32_t cond = (uint32_t)stack.back(); stack.pop_back();
+                uint32_t cond = (uint32_t)pop();
                 labels.push_back({end + 1,
                                   (uint32_t)stack.size() - block_arity(vm, bt, true),
                                   block_arity(vm, bt, false), false});
@@ -341,6 +393,7 @@ uint64_t run_func(VM& vm, uint32_t fidx, const uint64_t* args, uint32_t nargs,
                 break;
             }
             case 0x05: {       // else reached from the then-branch: jump to end
+                if (labels.size() <= 1) throw Trap("else outside a block");
                 r = vm.at(labels.back().cont);
                 labels.pop_back();
                 break;
@@ -353,7 +406,7 @@ uint64_t run_func(VM& vm, uint32_t fidx, const uint64_t* args, uint32_t nargs,
             case 0x0c: do_branch(r.u32leb()); break;  // br
             case 0x0d: {                              // br_if
                 uint32_t d = r.u32leb();
-                uint32_t c = (uint32_t)stack.back(); stack.pop_back();
+                uint32_t c = (uint32_t)pop();
                 if (c) do_branch(d);
                 break;
             }
@@ -362,12 +415,13 @@ uint64_t run_func(VM& vm, uint32_t fidx, const uint64_t* args, uint32_t nargs,
                 std::vector<uint32_t> tgts(n);
                 for (uint32_t i = 0; i < n; i++) tgts[i] = r.u32leb();
                 uint32_t dflt = r.u32leb();
-                uint32_t v = (uint32_t)stack.back(); stack.pop_back();
+                uint32_t v = (uint32_t)pop();
                 do_branch(v < n ? tgts[v] : dflt);
                 break;
             }
             case 0x0f: {                              // return
                 uint32_t arity = (uint32_t)ft.results.size();
+                if (stack.size() < arity) throw Trap("stack underflow at return");
                 for (uint32_t i = 0; i < arity; i++)
                     results[i] = stack[stack.size() - arity + i];
                 *nresults = arity;
@@ -378,34 +432,35 @@ uint64_t run_func(VM& vm, uint32_t fidx, const uint64_t* args, uint32_t nargs,
             case 0x11: {                                      // call_indirect
                 r.u32leb();  // type idx (unchecked)
                 r.u8();      // table 0
-                uint32_t ti = (uint32_t)stack.back(); stack.pop_back();
-                if (ti >= vm.table.size() || vm.table[ti] == UINT32_MAX)
+                uint32_t ti = (uint32_t)pop();
+                if (ti >= vm.table.size() || vm.table[ti] == UINT32_MAX ||
+                    vm.table[ti] >= vm.funcs.size())
                     throw Trap("bad call_indirect index");
                 invoke(vm, vm.table[ti], stack);
                 break;
             }
-            case 0x1a: stack.pop_back(); break;               // drop
+            case 0x1a: pop(); break;                          // drop
             case 0x1b: case 0x1c: {                           // select
                 if (op == 0x1c) { uint32_t n = r.u32leb(); for (uint32_t i = 0; i < n; i++) r.u8(); }
-                uint32_t c = (uint32_t)stack.back(); stack.pop_back();
-                uint64_t b = stack.back(); stack.pop_back();
-                uint64_t a = stack.back(); stack.pop_back();
+                uint32_t c = (uint32_t)pop();
+                uint64_t b = pop();
+                uint64_t a = pop();
                 stack.push_back(c ? a : b);
                 break;
             }
             case 0x20: stack.push_back(locals.at(r.u32leb())); break;
-            case 0x21: locals.at(r.u32leb()) = stack.back(); stack.pop_back(); break;
-            case 0x22: locals.at(r.u32leb()) = stack.back(); break;
+            case 0x21: locals.at(r.u32leb()) = pop(); break;
+            case 0x22: locals.at(r.u32leb()) = top(); break;
             case 0x23: stack.push_back(vm.globals.at(r.u32leb()).value); break;
-            case 0x24: vm.globals.at(r.u32leb()).value = stack.back(); stack.pop_back(); break;
+            case 0x24: vm.globals.at(r.u32leb()).value = pop(); break;
 
             // loads
             case 0x28: case 0x29: case 0x2a: case 0x2b: case 0x2c: case 0x2d:
             case 0x2e: case 0x2f: case 0x30: case 0x31: case 0x32: case 0x33:
             case 0x34: case 0x35: {
                 r.u32leb();
-                uint64_t a = (uint32_t)stack.back() + (uint64_t)r.u32leb();
-                stack.pop_back();
+                uint32_t memoff = r.u32leb();
+                uint64_t a = (uint32_t)pop() + (uint64_t)memoff;
                 uint64_t v;
                 switch (op) {
                     case 0x28: v = mem_load<uint32_t>(vm, a); break;           // i32.load
@@ -431,9 +486,8 @@ uint64_t run_func(VM& vm, uint32_t fidx, const uint64_t* args, uint32_t nargs,
             case 0x3c: case 0x3d: case 0x3e: {
                 r.u32leb();
                 uint32_t memoff = r.u32leb();
-                uint64_t v = stack.back(); stack.pop_back();
-                uint64_t a = (uint32_t)stack.back() + (uint64_t)memoff;
-                stack.pop_back();
+                uint64_t v = pop();
+                uint64_t a = (uint32_t)pop() + (uint64_t)memoff;
                 switch (op) {
                     case 0x36: mem_store<uint32_t>(vm, a, (uint32_t)v); break;
                     case 0x37: mem_store<uint64_t>(vm, a, v); break;
@@ -450,7 +504,7 @@ uint64_t run_func(VM& vm, uint32_t fidx, const uint64_t* args, uint32_t nargs,
             case 0x3f: r.u8(); stack.push_back((uint32_t)(vm.mem.size() / 65536)); break;
             case 0x40: {  // memory.grow
                 r.u8();
-                uint32_t delta = (uint32_t)stack.back(); stack.pop_back();
+                uint32_t delta = (uint32_t)pop();
                 uint64_t cur = vm.mem.size() / 65536;
                 uint64_t want = cur + delta;
                 if (want > vm.mem_pages_max || want > 65536) stack.push_back((uint32_t)-1);
@@ -463,8 +517,7 @@ uint64_t run_func(VM& vm, uint32_t fidx, const uint64_t* args, uint32_t nargs,
             case 0x44: stack.push_back(r.u64()); break;
 
             default: {
-                // numeric ops without immediates
-                auto pop = [&]() { uint64_t v = stack.back(); stack.pop_back(); return v; };
+                // numeric ops without immediates (checked `pop` from above)
                 auto push32 = [&](uint32_t v) { stack.push_back(v); };
                 auto push64 = [&](uint64_t v) { stack.push_back(v); };
                 if (op >= 0x45 && op <= 0x4f) {  // i32 compare
@@ -586,6 +639,7 @@ uint64_t run_func(VM& vm, uint32_t fidx, const uint64_t* args, uint32_t nargs,
         }
     }
     uint32_t arity = (uint32_t)ft.results.size();
+    if (stack.size() < arity) throw Trap("stack underflow at function end");
     for (uint32_t i = 0; i < arity; i++)
         results[i] = stack[stack.size() - arity + i];
     *nresults = arity;
@@ -604,6 +658,7 @@ void parse_module(VM& vm) {
         uint8_t sec = r.u8();
         uint32_t len = r.u32leb();
         const uint8_t* sec_end = r.p + len;
+        if (len > size_t(r.end - r.p)) throw Trap("section length past end");
         switch (sec) {
             case 1: {  // types
                 uint32_t n = r.u32leb();
@@ -613,6 +668,8 @@ void parse_module(VM& vm) {
                     uint32_t np = r.u32leb();
                     for (uint32_t j = 0; j < np; j++) ft.params.push_back(r.u8());
                     uint32_t nr = r.u32leb();
+                    if (nr > MAX_RESULTS)
+                        throw Trap("function type with >8 results rejected");
                     for (uint32_t j = 0; j < nr; j++) ft.results.push_back(r.u8());
                     vm.types.push_back(std::move(ft));
                 }
@@ -764,6 +821,17 @@ void parse_module(VM& vm) {
     }
     if (vm.mem.empty() && mem_min_pages)
         vm.mem.assign((size_t)mem_min_pages * 65536, 0);
+    // post-parse index validation: everything the runtime dereferences
+    // unchecked must be range-checked here (mutated modules reach this code)
+    for (const auto& fb : vm.funcs)
+        if (fb.type_idx >= vm.types.size())
+            throw Trap("function type index out of range");
+    for (const auto& kv : vm.exports)
+        if (kv.second.kind == 0 && kv.second.index >= vm.funcs.size())
+            throw Trap("export function index out of range");
+    for (uint32_t t : vm.table)
+        if (t != UINT32_MAX && t >= vm.funcs.size())
+            throw Trap("table element index out of range");
 }
 
 }  // namespace
@@ -777,6 +845,11 @@ void* wvm_load(const uint8_t* bytes, uint64_t len, char* err, uint64_t errlen) {
         parse_module(*vm);
     } catch (const Trap& t) {
         if (err && errlen) snprintf(err, errlen, "%s", t.msg.c_str());
+        return nullptr;
+    } catch (const std::exception& e) {
+        // malformed modules can drive .at()/allocations into out_of_range/
+        // bad_alloc; report instead of letting it abort the host process
+        if (err && errlen) snprintf(err, errlen, "parse error: %s", e.what());
         return nullptr;
     }
     return vm.release();
@@ -798,6 +871,7 @@ int32_t wvm_call(void* h, const char* name, const uint64_t* args, int32_t nargs,
         uint32_t nres = 0;
         std::vector<uint64_t> a(args, args + nargs);
         vm.call_depth = 0;
+        vm.fuel = vm.fuel_limit;
         run_func(vm, it->second.index, a.data(), (uint32_t)nargs, res, &nres);
         for (uint32_t i = 0; i < nres && (int32_t)i < nout; i++) out[i] = res[i];
         return (int32_t)nres;
@@ -806,10 +880,19 @@ int32_t wvm_call(void* h, const char* name, const uint64_t* args, int32_t nargs,
         if (t.exception_code >= 0) vm.last_exception = t.exception_code;
         if (err && errlen) snprintf(err, errlen, "%s", t.msg.c_str());
         return -1;
+    } catch (const std::exception& e) {
+        vm.last_error = e.what();
+        if (err && errlen) snprintf(err, errlen, "runtime error: %s", e.what());
+        return -1;
     }
 }
 
 int64_t wvm_exception(void* h) { return ((VM*)h)->last_exception; }
+
+// bound the per-call instruction budget (0 = unlimited)
+void wvm_set_fuel(void* h, uint64_t fuel) {
+    ((VM*)h)->fuel_limit = fuel ? fuel : UINT64_MAX;
+}
 
 uint64_t wvm_mem_size(void* h) { return ((VM*)h)->mem.size(); }
 
