@@ -100,20 +100,29 @@ class TestDevice:
         return pub.public_bytes(Encoding.PEM, PublicFormat.SubjectPublicKeyInfo).decode()
 
 
-def _point_repr(p: AffinePoint) -> bytes:
-    """Stand-in for ark's Display hashing of points in the challenge
-    derivation (device.rs:131-137 hashes `to_string()`); we hash the
-    compressed encoding — parity with the Rust byte stream is a TODO
-    alongside artifact serialization (PARITY.md)."""
-    from ..utils.serialize import ser_g1_compressed
+def _ark_display_int(v: int) -> bytes:
+    """ark-ff 0.4 `Fp::Display` bytes: decimal of the canonical integer.
+    ark's impl runs `into_bigint().to_string().trim_start_matches('0')`,
+    so zero renders as the EMPTY string — mirrored here for byte parity
+    (never hit in practice: challenge scalars and random commitment
+    coordinates are nonzero w.o.p.)."""
+    return str(v).encode() if v else b""
 
-    return ser_g1_compressed(p)
+
+def _point_repr(p: AffinePoint) -> bytes:
+    """ark-ec 0.4 `Affine::Display` bytes, as hashed by the reference's
+    challenge derivation (device.rs:128-131 hashes `to_string()`):
+    `"({x}, {y})"` with decimal coordinates, `"infinity"` for the
+    identity."""
+    if p is None:
+        return b"infinity"
+    return b"(" + _ark_display_int(p[0]) + b", " + _ark_display_int(p[1]) + b")"
 
 
 def challenge_e1_e2(pi0_c: int, com0: AffinePoint, com1: AffinePoint, comz: AffinePoint, h_q: bytes):
     sha = hashlib.sha256()
     sha.update(CONTEXT_E)
-    sha.update(str(pi0_c).encode())
+    sha.update(_ark_display_int(pi0_c))
     sha.update(_point_repr(com0))
     sha.update(_point_repr(com1))
     sha.update(_point_repr(comz))
