@@ -9,11 +9,16 @@ SURVEY.md §2c.  The TPU carries the prover-side MSM/NTT load instead.
 Implementation: generic affine Miller loop over E(Fq12) with the D-type
 sextic twist untwisting map, loop count 6u+2, two Frobenius correction
 lines, and a plain (p^12-1)/r final exponentiation split into easy/hard
-parts.  Optimized for clarity and exactness, not speed.
+parts.  The Python tower below is the exact oracle; production calls are
+routed through the native C++ mirror of the same construction
+(native/bigcurve.cpp pairing tower, ~1000x faster) and fall back here when
+no toolchain exists.  CRESCENT_HOST_PAIRING=1 forces the Python path
+(used by the bit-exactness tests).
 """
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 from .curves import AffinePoint, G2Point
@@ -118,12 +123,37 @@ def final_exponentiation(f: Fq12) -> Fq12:
     return f2.pow(e)
 
 
+def _native_multi_pairing(pairs) -> Optional[Fq12]:
+    """Native C++ path (bit-identical construction); None if unavailable."""
+    if os.environ.get("CRESCENT_HOST_PAIRING") == "1":
+        return None
+    try:
+        from ..native import backend
+
+        vals = backend.multi_pairing_raw(pairs)
+    except Exception:
+        return None
+    if vals is None:
+        return None
+    return Fq12(
+        Fq6(Fq2(vals[0], vals[1]), Fq2(vals[2], vals[3]), Fq2(vals[4], vals[5])),
+        Fq6(Fq2(vals[6], vals[7]), Fq2(vals[8], vals[9]), Fq2(vals[10], vals[11])),
+    )
+
+
 def pairing(p: AffinePoint, q: G2Point) -> Fq12:
+    r = _native_multi_pairing([(p, q)])
+    if r is not None:
+        return r
     return final_exponentiation(miller_loop(p, q))
 
 
 def multi_pairing(pairs) -> Fq12:
     """prod e(P_i, Q_i) with a single shared final exponentiation."""
+    pairs = list(pairs)
+    r = _native_multi_pairing(pairs)
+    if r is not None:
+        return r
     f = Fq12.one()
     for p, q in pairs:
         f = f * miller_loop(p, q)

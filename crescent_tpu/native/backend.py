@@ -77,6 +77,8 @@ def _lib():
             "cn_sumcheck_cubic": [u64p, szt, u64p, u64p, u64p, u64p, u64p, cint],
             "cn_bind_top": [u64p, szt, u64p, u64p, u64p, cint],
             "cn_eq_evals": [u64p, u64p, szt, u64p],
+            "cn_pairing_init": [u64p, u64p, u64p, u64p, cint],
+            "cn_multi_pairing": [u64p, u64p, szt, u64p],
         }
         for name, args in sigs.items():
             fn = getattr(lib, name)
@@ -356,3 +358,63 @@ def dot(modulus: int, a: np.ndarray, b: np.ndarray) -> int:
     rc = lib.cn_dot(_ptr(_mod_arr(modulus)), _ptr(a), _ptr(b), min(a.shape[0], b.shape[0]), _ptr(out))
     assert rc == 0
     return u64_to_ints(out)[0]
+
+
+# ---------------------------------------------------------------------------
+# BN254 pairing (verifier side; bigcurve.cpp pairing tower)
+# ---------------------------------------------------------------------------
+
+_pairing_ready = False
+
+
+def _pairing_init() -> bool:
+    """One-time upload of the Frobenius constants and the hard-part exponent
+    (computed exactly in core/fields.py) into the native pairing context."""
+    global _pairing_ready
+    if _pairing_ready:
+        return True
+    lib = _lib()
+    if lib is None:
+        return False
+    from ..core import fields as F
+
+    def fq2_arr(xs):
+        vals = []
+        for x in xs:
+            vals += [x.c0, x.c1]
+        return ints_to_u64(vals)
+
+    c16 = fq2_arr(F.FROB_C1_6)
+    c26 = fq2_arr(F.FROB_C2_6)
+    c112 = fq2_arr(F.FROB_C1_12)
+    p, r = F.BN254_FQ, F.BN254_FR
+    e = (p**4 - p**2 + 1) // r
+    nlimbs = (e.bit_length() + 63) // 64
+    he = np.frombuffer(e.to_bytes(nlimbs * 8, "little"), dtype="<u8").copy()
+    rc = lib.cn_pairing_init(_ptr(c16), _ptr(c26), _ptr(c112), _ptr(he), nlimbs)
+    _pairing_ready = rc == 0
+    return _pairing_ready
+
+
+def multi_pairing_raw(pairs):
+    """prod e(P_i, Q_i) as a list of 12 Fq ints in tower order
+    (c0.c0.c0, c0.c0.c1, ..., c1.c2.c1), or None if unavailable.
+    P_i: AffinePoint (None = identity); Q_i: (Fq2, Fq2) or None."""
+    if not _pairing_init():
+        return None
+    lib = _lib()
+    n = len(pairs)
+    g1 = np.zeros((n, 8), dtype="<u8")
+    g2 = np.zeros((n, 16), dtype="<u8")
+    for i, (p, q) in enumerate(pairs):
+        if p is not None:
+            g1[i] = ints_to_u64([p[0], p[1]]).reshape(8)
+        if q is not None:
+            g2[i] = ints_to_u64(
+                [q[0].c0, q[0].c1, q[1].c0, q[1].c1]
+            ).reshape(16)
+    out = np.zeros((12, 4), dtype="<u8")
+    rc = lib.cn_multi_pairing(_ptr(g1), _ptr(g2), n, _ptr(out))
+    if rc != 0:
+        return None
+    return u64_to_ints(out)

@@ -1183,3 +1183,457 @@ int cn_dot(const u64 *mod, const u64 *a, const u64 *b, size_t n, u64 *out) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// BN254 pairing tower (verifier side; reference: ark-bn254 via
+// forks/groth16/src/verifier.rs:44 and ark-poly-commit kzg10/mod.rs:357).
+//
+// Mirrors the host oracle core/pairing.py exactly: generic affine Miller
+// loop over E(Fq12) with the D-type twist untwisting map, loop count 6u+2,
+// two Frobenius correction lines, plain (p^12-1)/r final exponentiation.
+// The pairing value is canonical, so matching the oracle's structure makes
+// bit-exactness trivially checkable while still being ~1000x faster than
+// Python bigints.
+//
+// Layouts (Montgomery form internally, standard form at the C ABI):
+//   Fq2  = u64[8]   (c0, c1)
+//   Fq6  = u64[24]  (c0, c1, c2 : Fq2)
+//   Fq12 = u64[48]  (c0, c1 : Fq6)
+// Frobenius coefficients and the hard-part exponent are supplied by Python
+// at init (computed exactly in core/fields.py) — no bignum code needed here.
+// ---------------------------------------------------------------------------
+
+namespace pairing {
+
+struct PairingCtx {
+    FieldCtx fq;
+    u64 frob_c1_6[6][8];    // Montgomery Fq2
+    u64 frob_c2_6[6][8];
+    u64 frob_c1_12[12][8];
+    std::vector<u64> hard_exp;  // little-endian limbs of (p^4-p^2+1)/r
+    bool init = false;
+};
+
+static PairingCtx g_ctx;
+
+// --- Fq2 (beyond Fq2Ops: nonresidue, conjugate, frobenius) ---
+
+static inline void fq2_mul(const FieldCtx &f, const u64 *a, const u64 *b, u64 *o) {
+    Fq2Ops(&f).mul(a, b, o);
+}
+static inline void fq2_add(const FieldCtx &f, const u64 *a, const u64 *b, u64 *o) {
+    Fq2Ops(&f).add(a, b, o);
+}
+static inline void fq2_sub(const FieldCtx &f, const u64 *a, const u64 *b, u64 *o) {
+    Fq2Ops(&f).sub(a, b, o);
+}
+static inline void fq2_neg(const FieldCtx &f, const u64 *a, u64 *o) {
+    Fq2Ops(&f).neg(a, o);
+}
+static inline void fq2_sqr(const FieldCtx &f, const u64 *a, u64 *o) {
+    Fq2Ops(&f).sqr(a, o);
+}
+static inline void fq2_inv(const FieldCtx &f, const u64 *a, u64 *o) {
+    Fq2Ops(&f).inv(a, o);
+}
+
+// x9 = 8x + x
+static inline void fmul9(const FieldCtx &f, const u64 *a, u64 *o) {
+    u64 t[4];
+    fdbl(f, a, t);
+    fdbl(f, t, t);
+    fdbl(f, t, t);
+    fadd(f, t, a, o);
+}
+
+// * (9 + u):  (9 a0 - a1, a0 + 9 a1)
+static inline void fq2_mul_by_nonresidue(const FieldCtx &f, const u64 *a, u64 *o) {
+    u64 n0[4], n1[4], t[4];
+    fmul9(f, a, n0);
+    fsub(f, n0, a + 4, t);
+    fmul9(f, a + 4, n1);
+    fadd(f, n1, a, o + 4);
+    memcpy(o, t, 32);
+}
+
+static inline void fq2_frob(const FieldCtx &f, const u64 *a, int power, u64 *o) {
+    memcpy(o, a, 32);
+    if (power & 1)
+        fneg(f, a + 4, o + 4);
+    else
+        memcpy(o + 4, a + 4, 32);
+}
+
+// --- Fq6 ---
+
+static void fq6_add(const FieldCtx &f, const u64 *a, const u64 *b, u64 *o) {
+    for (int i = 0; i < 3; ++i) fq2_add(f, a + 8 * i, b + 8 * i, o + 8 * i);
+}
+static void fq6_sub(const FieldCtx &f, const u64 *a, const u64 *b, u64 *o) {
+    for (int i = 0; i < 3; ++i) fq2_sub(f, a + 8 * i, b + 8 * i, o + 8 * i);
+}
+static void fq6_neg(const FieldCtx &f, const u64 *a, u64 *o) {
+    for (int i = 0; i < 3; ++i) fq2_neg(f, a + 8 * i, o + 8 * i);
+}
+
+// * v :  (c0, c1, c2) -> (xi*c2, c0, c1); alias-safe (a may equal o)
+static void fq6_mul_by_nonresidue(const FieldCtx &f, const u64 *a, u64 *o) {
+    u64 t[8], c0[8], c1[8];
+    fq2_mul_by_nonresidue(f, a + 16, t);
+    memcpy(c0, a, 64);
+    memcpy(c1, a + 8, 64);
+    memcpy(o, t, 64);
+    memcpy(o + 8, c0, 64);
+    memcpy(o + 16, c1, 64);
+}
+
+static void fq6_mul(const FieldCtx &f, const u64 *A, const u64 *B, u64 *o) {
+    const u64 *a0 = A, *a1 = A + 8, *a2 = A + 16;
+    const u64 *b0 = B, *b1 = B + 8, *b2 = B + 16;
+    u64 t0[8], t1[8], t2[8], s0[8], s1[8], m[8], r0[8], r1[8], r2[8];
+    fq2_mul(f, a0, b0, t0);
+    fq2_mul(f, a1, b1, t1);
+    fq2_mul(f, a2, b2, t2);
+    // c0 = ((a1+a2)(b1+b2) - t1 - t2)*xi_v + t0
+    fq2_add(f, a1, a2, s0);
+    fq2_add(f, b1, b2, s1);
+    fq2_mul(f, s0, s1, m);
+    fq2_sub(f, m, t1, m);
+    fq2_sub(f, m, t2, m);
+    fq2_mul_by_nonresidue(f, m, r0);
+    fq2_add(f, r0, t0, r0);
+    // c1 = (a0+a1)(b0+b1) - t0 - t1 + xi*t2
+    fq2_add(f, a0, a1, s0);
+    fq2_add(f, b0, b1, s1);
+    fq2_mul(f, s0, s1, m);
+    fq2_sub(f, m, t0, m);
+    fq2_sub(f, m, t1, m);
+    u64 x2[8];
+    fq2_mul_by_nonresidue(f, t2, x2);
+    fq2_add(f, m, x2, r1);
+    // c2 = (a0+a2)(b0+b2) - t0 - t2 + t1
+    fq2_add(f, a0, a2, s0);
+    fq2_add(f, b0, b2, s1);
+    fq2_mul(f, s0, s1, m);
+    fq2_sub(f, m, t0, m);
+    fq2_sub(f, m, t2, m);
+    fq2_add(f, m, t1, r2);
+    memcpy(o, r0, 64);
+    memcpy(o + 8, r1, 64);
+    memcpy(o + 16, r2, 64);
+}
+
+static void fq6_sqr(const FieldCtx &f, const u64 *a, u64 *o) { fq6_mul(f, a, a, o); }
+
+static void fq6_inv(const FieldCtx &f, const u64 *A, u64 *o) {
+    const u64 *a0 = A, *a1 = A + 8, *a2 = A + 16;
+    u64 t0[8], t1[8], t2[8], m[8], d[8], di[8];
+    // t0 = a0^2 - xi*(a1*a2)
+    fq2_sqr(f, a0, t0);
+    fq2_mul(f, a1, a2, m);
+    fq2_mul_by_nonresidue(f, m, m);
+    fq2_sub(f, t0, m, t0);
+    // t1 = xi*a2^2 - a0*a1
+    fq2_sqr(f, a2, t1);
+    fq2_mul_by_nonresidue(f, t1, t1);
+    fq2_mul(f, a0, a1, m);
+    fq2_sub(f, t1, m, t1);
+    // t2 = a1^2 - a0*a2
+    fq2_sqr(f, a1, t2);
+    fq2_mul(f, a0, a2, m);
+    fq2_sub(f, t2, m, t2);
+    // d = xi*(a2*t1 + a1*t2) + a0*t0
+    u64 u0[8], u1[8];
+    fq2_mul(f, a2, t1, u0);
+    fq2_mul(f, a1, t2, u1);
+    fq2_add(f, u0, u1, d);
+    fq2_mul_by_nonresidue(f, d, d);
+    fq2_mul(f, a0, t0, m);
+    fq2_add(f, d, m, d);
+    fq2_inv(f, d, di);
+    fq2_mul(f, t0, di, o);
+    fq2_mul(f, t1, di, o + 8);
+    fq2_mul(f, t2, di, o + 16);
+}
+
+static void fq6_frob(const PairingCtx &c, const u64 *a, int power, u64 *o) {
+    const FieldCtx &f = c.fq;
+    u64 t[8];
+    fq2_frob(f, a, power, o);
+    fq2_frob(f, a + 8, power, t);
+    fq2_mul(f, t, c.frob_c1_6[power % 6], o + 8);
+    fq2_frob(f, a + 16, power, t);
+    fq2_mul(f, t, c.frob_c2_6[power % 6], o + 16);
+}
+
+// --- Fq12 ---
+
+static void fq12_mul(const FieldCtx &f, const u64 *A, const u64 *B, u64 *o) {
+    const u64 *a0 = A, *a1 = A + 24, *b0 = B, *b1 = B + 24;
+    u64 t0[24], t1[24], s0[24], s1[24], m[24], r0[24], r1[24];
+    fq6_mul(f, a0, b0, t0);
+    fq6_mul(f, a1, b1, t1);
+    fq6_mul_by_nonresidue(f, t1, r0);
+    fq6_add(f, t0, r0, r0);
+    fq6_add(f, a0, a1, s0);
+    fq6_add(f, b0, b1, s1);
+    fq6_mul(f, s0, s1, m);
+    fq6_sub(f, m, t0, m);
+    fq6_sub(f, m, t1, r1);
+    memcpy(o, r0, 192);
+    memcpy(o + 24, r1, 192);
+}
+
+static void fq12_sqr(const FieldCtx &f, const u64 *a, u64 *o) { fq12_mul(f, a, a, o); }
+
+static void fq12_conj(const FieldCtx &f, const u64 *a, u64 *o) {
+    memcpy(o, a, 192);
+    fq6_neg(f, a + 24, o + 24);
+}
+
+static void fq12_one(const FieldCtx &f, u64 *o) {
+    memset(o, 0, 384);
+    memcpy(o, f.r1, 32);
+}
+
+static bool fq12_is_one(const FieldCtx &f, const u64 *a) {
+    if (memcmp(a, f.r1, 32) != 0) return false;
+    for (int i = 4; i < 48; ++i)
+        if (a[i]) return false;
+    return true;
+}
+
+static void fq12_inv(const FieldCtx &f, const u64 *A, u64 *o) {
+    u64 t0[24], t1[24], ti[24];
+    fq6_sqr(f, A, t0);
+    fq6_sqr(f, A + 24, t1);
+    fq6_mul_by_nonresidue(f, t1, t1);
+    fq6_sub(f, t0, t1, t0);
+    fq6_inv(f, t0, ti);
+    fq6_mul(f, A, ti, o);
+    fq6_mul(f, A + 24, ti, o + 24);
+    fq6_neg(f, o + 24, o + 24);
+}
+
+static void fq12_frob(const PairingCtx &c, const u64 *a, int power, u64 *o) {
+    const FieldCtx &f = c.fq;
+    u64 c1[24];
+    fq6_frob(c, a, power, o);
+    fq6_frob(c, a + 24, power, c1);
+    const u64 *g = c.frob_c1_12[power % 12];
+    for (int i = 0; i < 3; ++i) fq2_mul(f, c1 + 8 * i, g, o + 24 + 8 * i);
+}
+
+// square-and-multiply over a little-endian multi-limb exponent
+static void fq12_pow(const FieldCtx &f, const u64 *a, const std::vector<u64> &e, u64 *o) {
+    u64 acc[48], base[48];
+    fq12_one(f, acc);
+    memcpy(base, a, 384);
+    int top = (int)e.size() - 1;
+    while (top >= 0 && e[top] == 0) --top;
+    for (int limb = 0; limb <= top; ++limb) {
+        u64 bits = e[limb];
+        int nbits = (limb == top) ? 64 - __builtin_clzll(bits) : 64;
+        for (int i = 0; i < nbits; ++i) {
+            if ((bits >> i) & 1) fq12_mul(f, acc, base, acc);
+            fq12_sqr(f, base, base);
+        }
+    }
+    memcpy(o, acc, 384);
+}
+
+// --- E(Fq12) affine points + line evaluation (mirrors core/pairing.py) ---
+
+struct Pt12 {
+    u64 x[48], y[48];
+    bool inf;
+};
+
+// line through t and q evaluated at (px, py); t <- t + q
+static void add_eval(const PairingCtx &c, Pt12 &t, const Pt12 &q,
+                     const u64 *px, const u64 *py, u64 *line) {
+    const FieldCtx &f = c.fq;
+    u64 lam[48], d[48], n[48];
+    bool same_x = memcmp(t.x, q.x, 384) == 0;
+    if (same_x && memcmp(t.y, q.y, 384) == 0) {
+        // lam = 3 x^2 / 2 y
+        u64 x2[48], three[48], two[48];
+        fq12_sqr(f, t.x, x2);
+        memset(three, 0, 384);
+        memset(two, 0, 384);
+        // 3, 2 in Montgomery form (slot c0.c0.c0)
+        fadd(f, f.r1, f.r1, two);
+        fadd(f, two, f.r1, three);
+        fq12_mul(f, x2, three, n);
+        fq12_mul(f, t.y, two, d);
+        fq12_inv(f, d, d);
+        fq12_mul(f, n, d, lam);
+    } else if (same_x) {
+        // t = -q: vertical line X - x1
+        for (int i = 0; i < 48; i += 4) fsub(f, px + i, t.x + i, line + i);
+        t.inf = true;
+        return;
+    } else {
+        u64 dy[48], dx[48];
+        for (int i = 0; i < 48; i += 4) fsub(f, q.y + i, t.y + i, dy + i);
+        for (int i = 0; i < 48; i += 4) fsub(f, q.x + i, t.x + i, dx + i);
+        fq12_inv(f, dx, dx);
+        fq12_mul(f, dy, dx, lam);
+    }
+    // line = (py - y1) - lam*(px - x1)
+    u64 pmx[48], pmy[48], lm[48];
+    for (int i = 0; i < 48; i += 4) fsub(f, px + i, t.x + i, pmx + i);
+    for (int i = 0; i < 48; i += 4) fsub(f, py + i, t.y + i, pmy + i);
+    fq12_mul(f, lam, pmx, lm);
+    for (int i = 0; i < 48; i += 4) fsub(f, pmy + i, lm + i, line + i);
+    // x3 = lam^2 - x1 - x2 ; y3 = lam (x1 - x3) - y1
+    u64 l2[48], x3[48], y3[48], t0[48];
+    fq12_sqr(f, lam, l2);
+    for (int i = 0; i < 48; i += 4) fsub(f, l2 + i, t.x + i, x3 + i);
+    for (int i = 0; i < 48; i += 4) fsub(f, x3 + i, q.x + i, x3 + i);
+    for (int i = 0; i < 48; i += 4) fsub(f, t.x + i, x3 + i, t0 + i);
+    fq12_mul(f, lam, t0, y3);
+    for (int i = 0; i < 48; i += 4) fsub(f, y3 + i, t.y + i, y3 + i);
+    memcpy(t.x, x3, 384);
+    memcpy(t.y, y3, 384);
+}
+
+// untwist (x, y) in E'(Fq2) -> E(Fq12): (x*w^2, y*w^3)
+static void untwist(const PairingCtx &c, const u64 *g2, Pt12 &o) {
+    const FieldCtx &f = c.fq;
+    // x * w^2: w^2 = v -> Fq12(Fq6(0, x_fq2, 0), 0) ... multiply generically:
+    // embed x as Fq12 then multiply by W2 constant = Fq12(Fq6(0,1,0),0)
+    u64 xe[48], ye[48], w2[48], w3[48];
+    memset(xe, 0, 384);
+    memset(ye, 0, 384);
+    memcpy(xe, g2, 64);        // x -> c0.c0
+    memcpy(ye, g2 + 8, 64);    // y -> c0.c0
+    memset(w2, 0, 384);
+    memcpy(w2 + 8, f.r1, 32);  // c0.c1 = 1
+    memset(w3, 0, 384);
+    memcpy(w3 + 24 + 8, f.r1, 32);  // c1.c1 = 1
+    fq12_mul(f, xe, w2, o.x);
+    fq12_mul(f, ye, w3, o.y);
+    o.inf = false;
+}
+
+static const u128 ATE_LOOP = (u128)6 * 4965661367192848881ull + 2;
+
+// Miller loop f_{6u+2,Q}(P); P affine Montgomery (x, y), Q untwisted
+static void miller_loop(const PairingCtx &c, const u64 *p_mont, const u64 *q_g2_mont,
+                        u64 *out) {
+    const FieldCtx &f = c.fq;
+    u64 px[48], py[48];
+    memset(px, 0, 384);
+    memset(py, 0, 384);
+    memcpy(px, p_mont, 32);
+    memcpy(py, p_mont + 4, 32);
+
+    Pt12 qt, t;
+    untwist(c, q_g2_mont, qt);
+    t = qt;
+
+    u64 facc[48], line[48];
+    fq12_one(f, facc);
+    int top = 0;
+    {
+        u128 v = ATE_LOOP;
+        while (v >> (top + 1)) ++top;
+    }
+    for (int i = top - 1; i >= 0; --i) {
+        add_eval(c, t, t, px, py, line);
+        fq12_sqr(f, facc, facc);
+        fq12_mul(f, facc, line, facc);
+        if ((ATE_LOOP >> i) & 1) {
+            add_eval(c, t, qt, px, py, line);
+            fq12_mul(f, facc, line, facc);
+        }
+    }
+    // Frobenius corrections: Q1 = pi(Q), Q2 = -pi^2(Q)
+    Pt12 q1, q2;
+    fq12_frob(c, qt.x, 1, q1.x);
+    fq12_frob(c, qt.y, 1, q1.y);
+    q1.inf = false;
+    fq12_frob(c, qt.x, 2, q2.x);
+    u64 y2[48];
+    fq12_frob(c, qt.y, 2, y2);
+    fq6_neg(f, y2, q2.y);
+    fq6_neg(f, y2 + 24, q2.y + 24);
+    q2.inf = false;
+    add_eval(c, t, q1, px, py, line);
+    fq12_mul(f, facc, line, facc);
+    add_eval(c, t, q2, px, py, line);
+    fq12_mul(f, facc, line, facc);
+    memcpy(out, facc, 384);
+}
+
+static void final_exp(const PairingCtx &c, const u64 *a, u64 *out) {
+    const FieldCtx &f = c.fq;
+    u64 f1[48], fi[48], f2[48], fr[48];
+    fq12_conj(f, a, f1);
+    fq12_inv(f, a, fi);
+    fq12_mul(f, f1, fi, f1);
+    fq12_frob(c, f1, 2, f2);
+    fq12_mul(f, f2, f1, f2);
+    fq12_pow(f, f2, c.hard_exp, fr);
+    memcpy(out, fr, 384);
+}
+
+}  // namespace pairing
+
+extern "C" {
+
+// Initialize the pairing context. All inputs standard form little-endian:
+// frob_c1_6: 6 Fq2 (6*8 u64), frob_c2_6: 6 Fq2, frob_c1_12: 12 Fq2,
+// hard_exp: nlimbs u64 of (p^4 - p^2 + 1) / r.
+int cn_pairing_init(const u64 *frob_c1_6, const u64 *frob_c2_6,
+                    const u64 *frob_c1_12, const u64 *hard_exp, int hard_limbs) {
+    using namespace pairing;
+    field_init(g_ctx.fq, BN254_FQ);
+    const FieldCtx &f = g_ctx.fq;
+    for (int i = 0; i < 6; ++i) {
+        to_mont(f, frob_c1_6 + i * 8, g_ctx.frob_c1_6[i]);
+        to_mont(f, frob_c1_6 + i * 8 + 4, g_ctx.frob_c1_6[i] + 4);
+        to_mont(f, frob_c2_6 + i * 8, g_ctx.frob_c2_6[i]);
+        to_mont(f, frob_c2_6 + i * 8 + 4, g_ctx.frob_c2_6[i] + 4);
+    }
+    for (int i = 0; i < 12; ++i) {
+        to_mont(f, frob_c1_12 + i * 8, g_ctx.frob_c1_12[i]);
+        to_mont(f, frob_c1_12 + i * 8 + 4, g_ctx.frob_c1_12[i] + 4);
+    }
+    g_ctx.hard_exp.assign(hard_exp, hard_exp + hard_limbs);
+    g_ctx.init = true;
+    return 0;
+}
+
+// prod_i e(P_i, Q_i) with one shared final exponentiation.
+// g1s: n * 8 u64 (x, y standard form; (0,0) = infinity)
+// g2s: n * 16 u64 (x.c0, x.c1, y.c0, y.c1; all-zero = infinity)
+// out: 48 u64, the Fq12 result in standard form (c0.c0.c0 ... c1.c2.c1)
+int cn_multi_pairing(const u64 *g1s, const u64 *g2s, size_t n, u64 *out) {
+    using namespace pairing;
+    if (!g_ctx.init) return -1;
+    const FieldCtx &f = g_ctx.fq;
+    u64 acc[48], ml[48];
+    fq12_one(f, acc);
+    for (size_t i = 0; i < n; ++i) {
+        const u64 *p = g1s + i * 8;
+        const u64 *q = g2s + i * 16;
+        bool p_inf = u256_is_zero(p) && u256_is_zero(p + 4);
+        bool q_inf = u256_is_zero(q) && u256_is_zero(q + 4) &&
+                     u256_is_zero(q + 8) && u256_is_zero(q + 12);
+        if (p_inf || q_inf) continue;
+        u64 pm[8], qm[16];
+        to_mont(f, p, pm);
+        to_mont(f, p + 4, pm + 4);
+        for (int k = 0; k < 4; ++k) to_mont(f, q + 4 * k, qm + 4 * k);
+        miller_loop(g_ctx, pm, qm, ml);
+        fq12_mul(f, acc, ml, acc);
+    }
+    u64 fe[48];
+    final_exp(g_ctx, acc, fe);
+    for (int i = 0; i < 48; i += 4) from_mont(f, fe + i, out + i);
+    return 0;
+}
+
+}  // extern "C"
