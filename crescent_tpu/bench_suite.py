@@ -14,7 +14,6 @@ single-line headline contract for the driver; this module is the wide net.
 from __future__ import annotations
 
 import json
-import os
 import random
 import time
 

@@ -183,19 +183,20 @@ def _gen_mdl_fixtures(paths, args):
     device key, attribute inputs as prover_inputs.json / prover_aux.json
     (the reference's mdl prove path reads these, SURVEY.md §3.2)."""
     from .credentials.device import TestDevice
-    from .credentials.mdl import (
-        generate_es256_issuer_keypair, prepare_mdl_prover_inputs,
-    )
+    from .credentials.mdl import gen_x509_cert_chain, prepare_mdl_prover_inputs
     from .credentials.prep_inputs import parse_config
 
     if not os.path.exists(paths.config):
         with open(paths.config, "w") as f:
             json.dump(MDL1_CONFIG, f, indent=2)
-    priv, pub = generate_es256_issuer_keypair()
+    # issuer key embedded in a 3-cert X.509 chain (gen_x509_cert_chain.sh)
+    priv, pub, chain = gen_x509_cert_chain()
     with open(paths.issuer_pem, "w") as f:
         f.write(pub)
     with open(paths.base + "issuer.prv", "w") as f:
         f.write(priv)
+    with open(paths.base + "issuer_chain.pem", "w") as f:
+        f.write(chain)
     dev = TestDevice()
     with open(paths.base + "device.prv", "w") as f:
         f.write(str(dev.secret))
@@ -206,6 +207,7 @@ def _gen_mdl_fixtures(paths, args):
         config, MDL1_ATTRIBUTES, valid_until="2033-01-01",
         issuer_pem=pub, device_pub_pem=dev.public_pem(),
         issuer_priv_pem=priv,  # real issuance: signed MSO + circuit inputs
+        x5chain_pem=chain,
     )
     with open(paths.mdl_prover_inputs, "w") as f:
         json.dump(pi, f, indent=2)

@@ -22,11 +22,9 @@ from __future__ import annotations
 import hashlib
 import json
 
-from ..core.fields import BN254_FR as R
 from ..r1cs.builder import LC, ConstraintSystem
 from .api import CircuitFrontend, bits_to_num
 from .prep_inputs import CRESCENT_CONFIG_KEYS, CIRCOM_RS256_LIMB_BITS
-from .structs import IOLocations
 
 
 class StubJWTFrontend(CircuitFrontend):

@@ -19,14 +19,12 @@ from __future__ import annotations
 import hashlib
 import random
 from dataclasses import dataclass
-from typing import Optional
 
 from ..core.curves import BN254_G1 as G1
 from ..core.curves import P256, AffinePoint
 from ..core.fields import BN254_FR as R
-from ..core.fields import P256_FQ
 from . import ecdsa_pop
-from .dlog import DLogPoK, PedersenOpening, msm_select, pedersen_commit
+from .dlog import DLogPoK, PedersenOpening, pedersen_commit
 
 CONTEXT_E = b"computing challenge for linking proof"
 CONTEXT_PI0 = b"creating sigma proof pi0 for linking proof"

@@ -33,9 +33,16 @@ __all__ = ["DLogPoK", "PedersenOpening", "pedersen_commit", "derive_pedersen_bas
 
 def msm_select(bases: list, scalars: list[int]) -> AffinePoint:
     """Small-MSM dispatcher (utils.rs:124-138): tiny inputs go to the host
-    oracle, larger ones to the TPU executor."""
+    oracle, mid-size to the native C++ backend, and only QAP-scale work to
+    the TPU executor.  Show/verify MSMs are hundreds of points — dispatching
+    them over the device tunnel cost seconds of latency each (round-4
+    profile: show 223 s, almost all tunnel round-trips)."""
     if len(bases) <= 16:
         return G1.msm(scalars, bases)
+    from ..native import backend as nb
+
+    if nb.available():
+        return nb.msm("bn254_g1", [s % G1.n for s in scalars], bases)
     from ..ops.msm import get_msm
 
     return get_msm(G1).run_host(scalars, bases)

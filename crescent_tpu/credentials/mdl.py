@@ -32,7 +32,6 @@ from __future__ import annotations
 
 import datetime
 import hashlib
-import json
 import random
 
 from ..r1cs.builder import LC, ConstraintSystem
@@ -163,6 +162,101 @@ def _issuer_signed_item(digest_id: int, name: str, value_enc: bytes, rng) -> byt
     return out
 
 
+def gen_x509_cert_chain(issuer_priv_pem: str | None = None) -> tuple[str, str, str]:
+    """3-cert ECDSA chain — root -> CA -> issuer — with the reference's
+    parameters (circuit_setup/scripts/gen_x509_cert_chain.sh): the leaf uses
+    P-256 and is valid 1 year, the CA P-384 (5 years, signed by root with
+    SHA-512), the root P-521 self-signed (10 years, SHA-512); the CA signs
+    the leaf with SHA-384.  CN names match the script.
+
+    Returns (issuer_priv_pem, issuer_pub_pem, chain_pem) with chain_pem
+    leaf-first — the order mdl-gen consumes (`pem::parse_many`,
+    mdl-tools/src/bin/mdl-gen.rs:135-142)."""
+    import datetime
+
+    from cryptography import x509
+    from cryptography.hazmat.primitives import hashes
+    from cryptography.hazmat.primitives.asymmetric import ec
+    from cryptography.hazmat.primitives.serialization import (
+        Encoding, NoEncryption, PrivateFormat, PublicFormat,
+        load_pem_private_key,
+    )
+    from cryptography.x509.oid import NameOID
+
+    now = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+
+    def make_cert(subject_cn, issuer_cn, pubkey, signing_key, days, halg, is_ca):
+        subject = x509.Name([x509.NameAttribute(NameOID.COMMON_NAME, subject_cn)])
+        issuer = x509.Name([x509.NameAttribute(NameOID.COMMON_NAME, issuer_cn)])
+        b = (
+            x509.CertificateBuilder()
+            .subject_name(subject)
+            .issuer_name(issuer)
+            .public_key(pubkey)
+            .serial_number(x509.random_serial_number())
+            .not_valid_before(now)
+            .not_valid_after(now + datetime.timedelta(days=days))
+            .add_extension(
+                x509.BasicConstraints(ca=is_ca, path_length=None), critical=True
+            )
+        )
+        if is_ca:  # openssl_ca.cnf v3_ca: keyCertSign
+            b = b.add_extension(
+                x509.KeyUsage(False, False, False, False, False,
+                              True, True, False, False),
+                critical=True,
+            )
+        else:  # v3_signer: digitalSignature
+            b = b.add_extension(
+                x509.KeyUsage(True, False, False, False, False,
+                              False, False, False, False),
+                critical=True,
+            )
+        return b.sign(signing_key, halg)
+
+    root_key = ec.generate_private_key(ec.SECP521R1())
+    ca_key = ec.generate_private_key(ec.SECP384R1())
+    if issuer_priv_pem is not None:
+        leaf_key = load_pem_private_key(issuer_priv_pem.encode(), password=None)
+    else:
+        leaf_key = ec.generate_private_key(ec.SECP256R1())
+
+    root_crt = make_cert("NY DMV Test Root CA", "NY DMV Test Root CA",
+                         root_key.public_key(), root_key, 3650,
+                         hashes.SHA512(), True)
+    ca_crt = make_cert("NY DMV Test CA", "NY DMV Test Root CA",
+                       ca_key.public_key(), root_key, 1825,
+                       hashes.SHA512(), True)
+    leaf_crt = make_cert("NY DMV Test Issuer", "NY DMV Test CA",
+                         leaf_key.public_key(), ca_key, 365,
+                         hashes.SHA384(), False)
+
+    chain_pem = b"".join(
+        c.public_bytes(Encoding.PEM) for c in (leaf_crt, ca_crt, root_crt)
+    ).decode()
+    priv_pem = leaf_key.private_bytes(
+        Encoding.PEM, PrivateFormat.PKCS8, NoEncryption()
+    ).decode()
+    pub_pem = (
+        leaf_key.public_key()
+        .public_bytes(Encoding.PEM, PublicFormat.SubjectPublicKeyInfo)
+        .decode()
+    )
+    return priv_pem, pub_pem, chain_pem
+
+
+def x5chain_unprotected_header(chain_pem: str) -> dict:
+    """COSE unprotected header {33: x5chain} (RFC 9360) from a PEM chain:
+    a single bstr DER cert, or an array of bstrs leaf-first — the form
+    isomdl's X5Chain builder emits into the IssuerAuth COSE_Sign1."""
+    from cryptography import x509
+    from cryptography.hazmat.primitives.serialization import Encoding
+
+    certs = x509.load_pem_x509_certificates(chain_pem.encode())
+    ders = [c.public_bytes(Encoding.DER) for c in certs]
+    return {33: ders[0] if len(ders) == 1 else ders}
+
+
 def issue_mdl(
     config: dict,
     attributes: dict,
@@ -170,6 +264,7 @@ def issue_mdl(
     issuer_priv_pem: str,
     device_pub_pem: str | None,
     rng: random.Random | None = None,
+    x5chain_pem: str | None = None,
 ) -> tuple[dict, dict]:
     """Issue a signed MSO and derive circuit prover inputs + aux.
 
@@ -233,6 +328,22 @@ def issue_mdl(
 
     priv = load_pem_private_key(issuer_priv_pem.encode(), password=None)
     sig_r, sig_s = decode_dss_signature(priv.sign(tbs, ec.ECDSA(hashes.SHA256())))
+    if x5chain_pem is not None:
+        # full IssuerAuth COSE_Sign1 with the issuer's X.509 chain in the
+        # unprotected header (RFC 9360 label 33), as mdl-gen emits it via
+        # isomdl's X5Chain (mdl-gen.rs:135-150).  The Sig_structure (tbs)
+        # covers only the protected header, so the signature is unchanged.
+        import base64
+
+        issuer_auth = cbor.encode(
+            [
+                protected,
+                x5chain_unprotected_header(x5chain_pem),
+                payload,
+                sig_r.to_bytes(32, "big") + sig_s.to_bytes(32, "big"),
+            ]
+        )
+        aux["issuer_auth"] = base64.urlsafe_b64encode(issuer_auth).decode()
     padded = sha256_pad(tbs)
     max_len = int(config.get("max_cred_len", 1792))
     assert len(padded) <= max_len, f"mDL too large: {len(padded)} > {max_len}"
@@ -309,13 +420,14 @@ def prepare_mdl_prover_inputs(
     device_pub_pem: str | None = None,
     issuer_priv_pem: str | None = None,
     rng: random.Random | None = None,
+    x5chain_pem: str | None = None,
 ) -> tuple[dict, dict]:
     """prepare-prover-input.rs equivalent.  With `issuer_priv_pem` this
     issues a real signed MSO and returns full circuit inputs (issue_mdl);
     without it, returns the value-only stub inputs for StubMDLFrontend."""
     if issuer_priv_pem is not None:
         return issue_mdl(config, attributes, valid_until, issuer_priv_pem,
-                         device_pub_pem, rng)
+                         device_pub_pem, rng, x5chain_pem=x5chain_pem)
     pi: dict = {}
     aux: dict = {}
     pubkey = pem_to_inputs(issuer_pem)

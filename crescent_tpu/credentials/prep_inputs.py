@@ -16,7 +16,6 @@ Every packing rule here must match the circom circuits bit-exactly
 from __future__ import annotations
 
 import base64
-import hashlib
 import json
 from dataclasses import dataclass, field
 from typing import Optional

@@ -83,6 +83,20 @@ def _sharded_prove():
 
 
 _SHARDED_CACHE = None
+_SHARDED_H_CACHE: dict = {}
+
+
+def _sharded_h_pipeline(dom):
+    """ShardedHPipeline for this domain on the active sharded-prove mesh."""
+    key = (dom.ctx.modulus, dom.n)
+    if key not in _SHARDED_H_CACHE:
+        from ..parallel.sharded_ntt import ShardedHPipeline
+
+        mesh = _SHARDED_CACHE[0].mesh
+        _SHARDED_H_CACHE[key] = ShardedHPipeline(
+            dom.ctx.modulus, dom.n, mesh, Fr.multiplicative_generator
+        )
+    return _SHARDED_H_CACHE[key]
 
 
 def _native_msm_prove() -> bool:
@@ -442,6 +456,69 @@ def setup(r1cs: R1CS, rng: random.Random) -> ProvingKey:
     return ProvingKey(vk, beta_g1, delta_g1, a_query, b_g1_query, b_g2_query, h_query, l_query)
 
 
+_H_PIPE_CACHE: dict = {}
+
+
+def _h_pipeline(dom: ntt.NTTDomain):
+    """ONE jitted program for the whole h(x) pipeline: Montgomery
+    conversion, 3x (iNTT -> coset scale -> NTT), pointwise (ab - c)/Z,
+    coset iNTT and de-Montgomery.  The per-call version dispatched ~20
+    separate programs through the axon tunnel; the round-3 trace showed the
+    phase costing 187-1344 s against ~2 s of butterfly kernel time —
+    pure dispatch/transfer overhead this fusion removes."""
+    key = (dom.ctx.modulus, dom.n)
+    if key not in _H_PIPE_CACHE:
+        ctx = dom.ctx
+        g = Fr.multiplicative_generator
+        g_inv = pow(g, -1, R)
+        zinv = pow(dom.vanishing_on_coset(g), -1, R)
+        zinv_m = jnp.asarray(ctx.to_mont_host([zinv])[0])
+        one_std = jnp.asarray(limb.ints_to_limbs([1]))[0]
+        n_inv = dom.n_inv_mont
+
+        # every big table is a jit ARGUMENT: captured device arrays embed
+        # as HLO constants and the 2^21 program blew the tunnel's
+        # remote-compile body limit (HTTP 413)
+        tables = (
+            dom.perm,
+            tuple(dom.tw_fwd),
+            tuple(dom.tw_inv),
+            dom._coset_powers(g),
+            dom._coset_powers(g_inv),
+        )
+
+        @jax.jit
+        def run(a, b, c, perm, tf, ti, pows, ipows):
+            am, bm, cm = ctx.to_mont(a), ctx.to_mont(b), ctx.to_mont(c)
+
+            def fwd(x):
+                return ntt.transform_limb_major(ctx, x, perm, tf, None)
+
+            def inv(x):
+                return ntt.transform_limb_major(ctx, x, perm, ti, n_inv)
+
+            def coset_fwd(x):
+                return fwd(ntt.elemwise_mont_mul(ctx, inv(x), pows))
+
+            prod = ctx.sub_mod(
+                ntt.elemwise_mont_mul(ctx, coset_fwd(am), coset_fwd(bm)),
+                coset_fwd(cm),
+            )
+            hc = ntt.elemwise_mont_mul(
+                ctx, prod, jnp.broadcast_to(zinv_m, prod.shape)
+            )
+            hm = ntt.elemwise_mont_mul(ctx, inv(hc), ipows)
+            # de-Montgomery on device (mont_mul by standard-form 1), then
+            # narrow to u16: halves the tunnel download
+            h_std = ntt.elemwise_mont_mul(
+                ctx, hm, jnp.broadcast_to(one_std, hm.shape)
+            )
+            return h_std.astype(jnp.uint16)
+
+        _H_PIPE_CACHE[key] = (run, tables)
+    return _H_PIPE_CACHE[key]
+
+
 def _compute_h(r1cs: R1CS, z: list[int], dom: ntt.NTTDomain) -> list[int]:
     """h(x) = (A(x)B(x) - C(x)) / Z(x) via coset NTTs on TPU."""
     ctx = dom.ctx
@@ -449,28 +526,31 @@ def _compute_h(r1cs: R1CS, z: list[int], dom: ntt.NTTDomain) -> list[int]:
         a, b, c = _matvec_evals(r1cs, z, dom)
     with timed(f"prove::NTT h(x) (domain 2^{dom.n.bit_length() - 1})"):
         if jax.default_backend() == "tpu":
-            # standard-form u16 upload + device Montgomery conversion (the
-            # host bigint path costs seconds and 2x the tunnel bytes)
-            am = ctx.to_mont(limb.upload_limbs(limb.ints_to_limbs(a)))
-            bm = ctx.to_mont(limb.upload_limbs(limb.ints_to_limbs(b)))
-            cm = ctx.to_mont(limb.upload_limbs(limb.ints_to_limbs(c)))
+            # standard-form u16 uploads; everything else fused in one jit
+            run, tables = _h_pipeline(dom)
+            h16 = run(
+                limb.upload_limbs(limb.ints_to_limbs(a)),
+                limb.upload_limbs(limb.ints_to_limbs(b)),
+                limb.upload_limbs(limb.ints_to_limbs(c)),
+                *tables,
+            )
+            h_ints = limb.limbs_to_ints(np.asarray(jax.device_get(h16)))
         else:
             am = jnp.asarray(ctx.to_mont_host(a))
             bm = jnp.asarray(ctx.to_mont_host(b))
             cm = jnp.asarray(ctx.to_mont_host(c))
-        g = Fr.multiplicative_generator
-        ac = dom.coset_ntt(dom.intt(am), g)
-        bc = dom.coset_ntt(dom.intt(bm), g)
-        cc = dom.coset_ntt(dom.intt(cm), g)
-        prod = ctx.sub_mod(ntt.elemwise_mont_mul(ctx, ac, bc), cc)
-        zinv = pow(dom.vanishing_on_coset(g), -1, R)
-        zinv_m = jnp.asarray(ctx.to_mont_host([zinv])[0])
-        hc = ntt.elemwise_mont_mul(
-            ctx, prod, jnp.broadcast_to(zinv_m, prod.shape)
-        )
-        h = dom.coset_intt(hc, g)
-        # download as u16 (values < 2^16): halves the tunnel transfer
-        h_ints = ctx.from_mont_host(np.asarray(jax.device_get(h.astype(jnp.uint16))))
+            g = Fr.multiplicative_generator
+            ac = dom.coset_ntt(dom.intt(am), g)
+            bc = dom.coset_ntt(dom.intt(bm), g)
+            cc = dom.coset_ntt(dom.intt(cm), g)
+            prod = ctx.sub_mod(ntt.elemwise_mont_mul(ctx, ac, bc), cc)
+            zinv = pow(dom.vanishing_on_coset(g), -1, R)
+            zinv_m = jnp.asarray(ctx.to_mont_host([zinv])[0])
+            hc = ntt.elemwise_mont_mul(
+                ctx, prod, jnp.broadcast_to(zinv_m, prod.shape)
+            )
+            h = dom.coset_intt(hc, g)
+            h_ints = ctx.from_mont_host(np.asarray(jax.device_get(h.astype(jnp.uint16))))
     assert h_ints[-1] == 0, "h degree bound violated (unsatisfied R1CS?)"
     return h_ints[:-1]
 
@@ -495,9 +575,20 @@ def prove(
     r = rng.randrange(R) if r is None else r
     s = rng.randrange(R) if s is None else s
     dom = _domain_for(r1cs)
-    h = _compute_h(r1cs, z, dom)
-
     shard = _sharded_prove()
+    if shard is not None and dom.n >= 4 * len(jax.devices()) ** 2:
+        # multi-chip h(x): every length-N transform through the four-step
+        # sharded NTT (one all_to_all each) instead of replicated NTTs
+        with timed("prove::matvec Az/Bz/Cz"):
+            a, b, c = _matvec_evals(r1cs, z, dom)
+        with timed(f"prove::NTT h(x) sharded (domain 2^{dom.n.bit_length() - 1})"):
+            pipe = _sharded_h_pipeline(dom)
+            h_full = pipe.compute_h(a, b, c)
+            assert h_full[-1] == 0, "h degree bound violated (unsatisfied R1CS?)"
+            h = h_full[:-1]
+    else:
+        h = _compute_h(r1cs, z, dom)
+
     if shard is not None:
         smsm_g1, smsm_g2 = shard
         zr = [x % R for x in z]
@@ -525,17 +616,49 @@ def prove(
         msm_g1 = get_msm(G1)
         msm_g2 = get_g2_msm()
 
-        # the 4 G1 MSMs run as one vmapped program; the G2 MSM separately
+        fused = os.environ.get("CRESCENT_PROVE_FUSED", "1") == "1"
         with timed(f"prove::MSMs G1 device ({r1cs.num_vars} vars)"):
-            res4 = msm_g1.run_device_many(
-                [
-                    _msm_problem(pk, "a_query", z, msm_g1),
-                    _msm_problem(pk, "b_g1_query", z, msm_g1),
-                    _msm_problem(pk, "h_query", h, msm_g1),
-                    _msm_problem(pk, "l_query", z[r1cs.num_instance :], msm_g1),
-                ]
-            )
-            az, bz1, hq, lw = msm_g1.ctx.points_to_host(res4)
+            fold_res = None
+            if fused:
+                # ONE compiled chunk-scan program for all 4 G1 MSMs: the
+                # z-scalar plane uploads once and is shared by the a/b1/l
+                # problems (l is a device slice)
+                zsc = limb.upload_limbs(
+                    limb.ints_to_limbs([x % R for x in z])
+                )
+                hsc = limb.upload_limbs(limb.ints_to_limbs(h))
+                ta = pk.device_table("a_query", msm_g1)
+                tb = pk.device_table("b_g1_query", msm_g1)
+                th = pk.device_table("h_query", msm_g1)
+                tl = pk.device_table("l_query", msm_g1)
+                nh, ni = len(h), r1cs.num_instance
+                fold_res = msm_g1.run_device_fold(
+                    [
+                        (*ta, zsc),
+                        (*tb, zsc),
+                        (th[0][:nh], th[1][:nh], th[2][:nh], hsc),
+                        (*tl, zsc[ni:]),
+                    ]
+                )
+            if fold_res is not None:
+                az, bz1, hq, lw = msm_g1.ctx.points_to_host(
+                    JPoints(
+                        jnp.stack([p.x for p in fold_res]),
+                        jnp.stack([p.y for p in fold_res]),
+                        jnp.stack([p.z for p in fold_res]),
+                    )
+                )
+            else:
+                # the 4 G1 MSMs as one vmapped program (per-chunk host loop)
+                res4 = msm_g1.run_device_many(
+                    [
+                        _msm_problem(pk, "a_query", z, msm_g1),
+                        _msm_problem(pk, "b_g1_query", z, msm_g1),
+                        _msm_problem(pk, "h_query", h, msm_g1),
+                        _msm_problem(pk, "l_query", z[r1cs.num_instance :], msm_g1),
+                    ]
+                )
+                az, bz1, hq, lw = msm_g1.ctx.points_to_host(res4)
         with timed("prove::MSM G2"):
             if _native_ok():
                 # the G2 MSM runs on the host backend even when G1 is on
@@ -568,8 +691,18 @@ def prepare_inputs(vk: VerifyingKey, public_inputs: list[int]) -> AffinePoint:
     assert len(public_inputs) == len(vk.gamma_abc_g1) - 1
     acc = vk.gamma_abc_g1[0]
     if public_inputs:
-        m = get_msm(G1, lanes=8)
-        acc = G1.add(acc, m.run_host(public_inputs, vk.gamma_abc_g1[1:]))
+        if _native_ok():
+            acc = G1.add(
+                acc,
+                nb.msm(
+                    "bn254_g1",
+                    [s % R for s in public_inputs],
+                    vk.gamma_abc_g1[1:],
+                ),
+            )
+        else:
+            m = get_msm(G1, lanes=8)
+            acc = G1.add(acc, m.run_host(public_inputs, vk.gamma_abc_g1[1:]))
     return acc
 
 

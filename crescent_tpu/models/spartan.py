@@ -27,7 +27,6 @@ coordinates natively (the whole point of the Tom-256 curve).
 from __future__ import annotations
 
 import hashlib
-import random
 from dataclasses import dataclass
 
 from ..core.curves import T256, AffinePoint
@@ -316,6 +315,8 @@ def commit_vector(gens: PedersenGens, values: list[int], blind: int) -> AffinePo
     scalars = [v % Q for v in values] + [blind % Q]
     if len(bases) <= 16:
         return T256.msm(scalars, bases)
+    if _nb_ok():
+        return nb.msm("t256", scalars, bases)
     return get_msm(T256).run_host(scalars, bases)
 
 
@@ -438,6 +439,8 @@ def _t256_msm(scalars, points):
         return None
     if len(pts) <= 32:
         return T256.msm(scs, pts)
+    if _nb_ok():
+        return nb.msm("t256", scs, pts)
     from ..ops.msm import get_msm
 
     return get_msm(T256).run_host(scs, pts)
@@ -1083,6 +1086,23 @@ def poly_commit(
     L_size, R_size = 1 << left, 1 << right
     blinds = tape.vector(b"poly_blinds", L_size) if tape is not None else [0] * L_size
     gn = gens.gens.gens_n
+    if _nb_ok() and R_size > 16:
+        # native host MSM per row: the reference's row commits are CPU rayon
+        # (dense_mlpoly.rs:181-206); device dispatch over the tunnel costs
+        # more latency than the whole commit
+        bases = gn.G[:R_size] + [gn.h]
+        C = [
+            _comp(
+                nb.msm(
+                    "t256",
+                    [v % Q for v in poly.evals[R_size * i : R_size * (i + 1)]]
+                    + [blinds[i] % Q],
+                    bases,
+                )
+            )
+            for i in range(L_size)
+        ]
+        return PolyCommitment(C), blinds
     if L_size >= 8 and R_size >= 32:
         from ..ops.ec import JPoints, get_curve_ctx
         from ..ops.msm import get_msm

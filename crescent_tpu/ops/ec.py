@@ -26,7 +26,7 @@ import numpy as np
 from ..core.curves import BN254G2, Curve
 from ..core.fields import BN254_FR
 from . import limb
-from .limb import NLIMB, U32
+from .limb import NLIMB
 
 
 class JPoints(NamedTuple):

@@ -27,7 +27,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..core.curves import Curve
 from . import limb
@@ -446,6 +445,78 @@ class MSM:
         digs = digs.reshape(scs.shape[0], npad, -1)
         sgns = sgns.reshape(scs.shape[0], npad, -1)
         return self._get_impl(self._lanes_for(npad), many=True)(pxs, pys, vals, digs, sgns)
+
+    def _get_fold(self, nchunks: int, ck: int, nprob: int):
+        """One jitted program running `nchunks` fixed-shape chunk MSMs via
+        lax.scan and accumulating each into its problem's Jacobian slot."""
+        key = ("fold", nchunks, ck, nprob)
+        if key not in self._impls:
+            am = self._affine_msm()
+            prog = am._get_msm(ck)
+            ctx = self.ctx
+
+            @jax.jit
+            def fold(PX, PY, PV, SC, pid):
+                def body(acc, inp):
+                    x, y, v, s, j = inp
+                    rx, ry, rz = prog(x, y, v, s)
+                    cur = JPoints(acc.x[j], acc.y[j], acc.z[j])
+                    new = ctx.add(cur, JPoints(rx, ry, rz))
+                    return (
+                        JPoints(
+                            acc.x.at[j].set(new.x),
+                            acc.y.at[j].set(new.y),
+                            acc.z.at[j].set(new.z),
+                        ),
+                        None,
+                    )
+
+                acc, _ = jax.lax.scan(
+                    body, ctx.identity((nprob,)), (PX, PY, PV, SC, pid)
+                )
+                return acc
+
+            self._impls[key] = fold
+        return self._impls[key]
+
+    def run_device_fold(self, problems):
+        """Run several QAP-scale MSMs as ONE compiled chunk-scan program.
+
+        The per-chunk Python loop in `run_device` costs one tunnel dispatch
+        per chunk plus eager slicing ops; at rs256@2048 scale that is ~220
+        dispatches whose round-trip latency dwarfs the field work (PERF.md
+        round 3: 343-956 s for ~35 s of kernel time).  Here every chunk of
+        every problem runs inside a single lax.scan, so the whole G1 MSM
+        phase is one dispatch.
+
+        problems: list of (px, py, pvalid, scalars) device arrays (shapes
+        (N_i, ...)); returns a list of Jacobian JPoints, one per problem.
+        Returns None when the affine path does not apply (caller falls back).
+        """
+        am = self._affine_msm()
+        if am is None:
+            return None
+        ck = self.max_chunk
+        xs, ys, vs, ss, pid = [], [], [], [], []
+        for j, (px, py, pvalid, sc) in enumerate(problems):
+            n = px.shape[0]
+            nc = max(1, -(-n // ck))
+            npad = nc * ck
+            px, py, pvalid, sc = self._pad_to(npad, px, py, pvalid, sc)
+            xs.append(px.reshape((nc, ck) + px.shape[1:]))
+            ys.append(py.reshape((nc, ck) + py.shape[1:]))
+            vs.append(pvalid.reshape(nc, ck))
+            ss.append(sc.reshape((nc, ck) + sc.shape[1:]))
+            pid += [j] * nc
+        PX = jnp.concatenate(xs)
+        PY = jnp.concatenate(ys)
+        PV = jnp.concatenate(vs)
+        SC = jnp.concatenate(ss)
+        pidj = jnp.asarray(pid, dtype=jnp.int32)
+        acc = self._get_fold(len(pid), ck, len(problems))(PX, PY, PV, SC, pidj)
+        return [
+            JPoints(acc.x[j], acc.y[j], acc.z[j]) for j in range(len(problems))
+        ]
 
     # -- host convenience ---------------------------------------------------
     def run_host(self, scalars: list[int], points: list):

@@ -46,7 +46,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from .ec import CurveCtx, JPoints
 from .limb import LIMB_BITS, NLIMB, U32

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import limb
-from .limb import NLIMB, U32, ModCtx
+from .limb import NLIMB, ModCtx
 
 
 def elemwise_mont_mul(ctx: ModCtx, x: jax.Array, y: jax.Array) -> jax.Array:
@@ -43,6 +43,46 @@ def elemwise_mont_mul(ctx: ModCtx, x: jax.Array, y: jax.Array) -> jax.Array:
         pec = get_pallas_ec(ctx.modulus, 0)
         return pec.mul(x.T, y.T).T
     return ctx.mont_mul(x, y)
+
+
+def transform_limb_major(ctx: ModCtx, x: jax.Array, perm: jax.Array,
+                         tws: tuple, n_inv_mont) -> jax.Array:
+    """Radix-2 NTT over (n, 16) Montgomery planes with the fused pallas
+    butterflies, with the permutation/twiddle tables passed EXPLICITLY.
+
+    Callers building big fused programs must pass the tables as jit
+    arguments, not closures: captured device arrays embed as HLO constants,
+    and at QAP scale (2^21: ~500 MB across fwd+inv+coset tables) the
+    serialized program exceeds the axon tunnel's remote-compile body limit
+    (HTTP 413 — observed round 4).  n_inv_mont = None for the forward
+    transform, the (16,) Montgomery 1/n for the inverse."""
+    from .pallas_ec import get_pallas_ec
+
+    pec = get_pallas_ec(ctx.modulus, 0)
+    n = x.shape[0]
+    logn = n.bit_length() - 1
+    assert len(tws) == logn
+    x = jnp.take(x, perm, axis=0).T  # (16, n) limb-major
+    for s in range(logn):
+        half = 1 << s
+        blocks = n // (2 * half)
+        v = x.reshape(NLIMB, blocks, 2, half)
+        a = v[:, :, 0, :].reshape(NLIMB, n // 2)
+        b = v[:, :, 1, :].reshape(NLIMB, n // 2)
+        twp = jnp.tile(tws[s].T, (1, blocks)) if half > 1 else jnp.broadcast_to(
+            tws[s].T, (NLIMB, n // 2)
+        )
+        # column blk*half + j needs twiddle j — jnp.tile repeats the
+        # (16, half) plane blocks times along the minor axis, giving
+        # exactly that layout
+        o0, o1 = pec.butterfly(a, b, twp)
+        x = jnp.stack(
+            [o0.reshape(NLIMB, blocks, half), o1.reshape(NLIMB, blocks, half)],
+            axis=2,
+        ).reshape(NLIMB, n)
+    if n_inv_mont is not None:
+        x = pec.mul(x, jnp.broadcast_to(n_inv_mont[:, None], (NLIMB, n)))
+    return x.T
 
 
 def bit_reverse_perm(n: int) -> np.ndarray:
@@ -133,32 +173,11 @@ class NTTDomain:
         product, modular add and sub all stay in VMEM, vs the batch-major
         XLA path that streams the Montgomery routing-matmul scratch
         (~2 GB/stage at 2^20) through HBM.  50 ms/stage -> ~1 ms/stage."""
-        from .pallas_ec import get_pallas_ec
-
-        pec = get_pallas_ec(self.ctx.modulus, 0)
-        n = self.n
-        x = jnp.take(x, self.perm, axis=0).T  # (16, n) limb-major
         tws = self.tw_inv if inverse else self.tw_fwd
-        for s in range(self.logn):
-            half = 1 << s
-            blocks = n // (2 * half)
-            v = x.reshape(NLIMB, blocks, 2, half)
-            a = v[:, :, 0, :].reshape(NLIMB, n // 2)
-            b = v[:, :, 1, :].reshape(NLIMB, n // 2)
-            twp = jnp.tile(tws[s].T, (1, blocks)) if half > 1 else jnp.broadcast_to(
-                tws[s].T, (NLIMB, n // 2)
-            )
-            # column blk*half + j needs twiddle j — but jnp.tile repeats the
-            # (16, half) plane blocks times along the minor axis, giving
-            # exactly that layout
-            o0, o1 = pec.butterfly(a, b, twp)
-            x = jnp.stack(
-                [o0.reshape(NLIMB, blocks, half), o1.reshape(NLIMB, blocks, half)],
-                axis=2,
-            ).reshape(NLIMB, n)
-        if inverse:
-            x = pec.mul(x, jnp.broadcast_to(self.n_inv_mont[:, None], (NLIMB, n)))
-        return x.T
+        return transform_limb_major(
+            self.ctx, x, self.perm, tuple(tws),
+            self.n_inv_mont if inverse else None,
+        )
 
     def ntt(self, x: jax.Array) -> jax.Array:
         """coefficients -> evaluations on the domain (both Montgomery form)."""

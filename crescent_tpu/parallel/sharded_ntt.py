@@ -27,14 +27,20 @@ from ..ops.limb import NLIMB
 
 
 class ShardedNTT:
-    """Forward NTT of size n1*n2 over a 1-D device mesh (axis `axis`)."""
+    """NTT of size n1*n2 over a 1-D device mesh (axis `axis`).
 
-    def __init__(self, modulus: int, n1: int, n2: int, mesh: Mesh, axis: str = "points"):
+    `inverse=True` builds the inverse transform: the same four-step
+    decomposition with the inverse roots (the row/col domains' `_bwd`
+    carry their own 1/n2 and 1/n1 factors, whose product is the full 1/N)."""
+
+    def __init__(self, modulus: int, n1: int, n2: int, mesh: Mesh,
+                 axis: str = "points", inverse: bool = False):
         self.ctx = limb.get_ctx(modulus)
         self.n1, self.n2 = n1, n2
         self.n = n1 * n2
         self.mesh = mesh
         self.axis = axis
+        self.inverse = inverse
         d = mesh.devices.size
         assert n1 % d == 0, "n1 must divide evenly across devices"
 
@@ -43,7 +49,7 @@ class ShardedNTT:
         self.dom_full = ntt.get_domain(modulus, self.n)
 
         # twiddle matrix w^(j1*k2) in Montgomery form, sharded by rows
-        w = self.dom_full.w
+        w = self.dom_full.w_inv if inverse else self.dom_full.w
         p = modulus
         tw = np.zeros((n1, n2, NLIMB), dtype=np.uint32)
         for j1 in range(n1):
@@ -51,8 +57,10 @@ class ShardedNTT:
             tw[j1] = self.ctx.to_mont_host(row)
         self.twiddles = jnp.asarray(tw)
 
-        row_ntt = jax.vmap(self.dom_rows._fwd)            # (rows, n2, 16)
-        col_ntt = jax.vmap(self.dom_cols._fwd, in_axes=1, out_axes=1)
+        row_fn = self.dom_rows._bwd if inverse else self.dom_rows._fwd
+        col_fn = self.dom_cols._bwd if inverse else self.dom_cols._fwd
+        row_ntt = jax.vmap(row_fn)                        # (rows, n2, 16)
+        col_ntt = jax.vmap(col_fn, in_axes=1, out_axes=1)
 
         def local(mat, tw):
             # mat: (n1/D, n2, 16) row shard
@@ -82,3 +90,52 @@ class ShardedNTT:
         cm = jnp.asarray(self.ctx.to_mont_host(coeffs))
         out = self.ntt(cm)
         return self.ctx.from_mont_host(np.asarray(out))
+
+
+class ShardedHPipeline:
+    """Multi-chip h(x) = (A(x)B(x) - C(x)) / Z(x) for the Groth16 prover:
+    every length-N transform in the QAP witness map runs through the
+    four-step sharded NTT (one all_to_all each), with the elementwise coset
+    scales / pointwise products as local device ops.
+
+    Mirrors models/groth16._compute_h bit-for-bit (oracle-tested in
+    tests/test_parallel.py); reference: forks/groth16/src/r1cs_to_qap.rs.
+    """
+
+    def __init__(self, modulus: int, n: int, mesh: Mesh, g: int,
+                 axis: str = "points"):
+        d = mesh.devices.size
+        n1 = d
+        while n1 * n1 < n:  # square-ish factorization, n1 divisible by d
+            n1 *= 2
+        n2 = n // n1
+        assert n1 * n2 == n and n1 % d == 0
+        self.ctx = limb.get_ctx(modulus)
+        self.n = n
+        self.fwd = ShardedNTT(modulus, n1, n2, mesh, axis)
+        self.inv = ShardedNTT(modulus, n1, n2, mesh, axis, inverse=True)
+        self.dom = self.fwd.dom_full
+        p = modulus
+        self.g = g
+        self.g_inv = pow(g, -1, p)
+        self.pows = self.dom._coset_powers(g)
+        self.ipows = self.dom._coset_powers(self.g_inv)
+        zinv = pow(self.dom.vanishing_on_coset(g), -1, p)
+        self.zinv_m = jnp.asarray(self.ctx.to_mont_host([zinv])[0])
+
+    def _coset_fwd(self, x_mont: jax.Array) -> jax.Array:
+        co = self.ctx.mont_mul(self.inv.ntt(x_mont), self.pows)
+        return self.fwd.ntt(co)
+
+    def compute_h(self, a: list[int], b: list[int], c: list[int]) -> list[int]:
+        """Domain evaluations (host ints) -> h coefficients (host ints,
+        length n; the caller asserts the top coefficient is zero)."""
+        ctx = self.ctx
+        am = jnp.asarray(ctx.to_mont_host(a))
+        bm = jnp.asarray(ctx.to_mont_host(b))
+        cm = jnp.asarray(ctx.to_mont_host(c))
+        ac, bc, cc = self._coset_fwd(am), self._coset_fwd(bm), self._coset_fwd(cm)
+        prod = ctx.sub_mod(ctx.mont_mul(ac, bc), cc)
+        hc = ctx.mont_mul(prod, jnp.broadcast_to(self.zinv_m, prod.shape))
+        h = ctx.mont_mul(self.inv.ntt(hc), self.ipows)
+        return ctx.from_mont_host(np.asarray(jax.device_get(h)))

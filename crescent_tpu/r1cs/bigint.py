@@ -16,7 +16,7 @@ Core identity per modular multiply a*b = q*n + r:
 from __future__ import annotations
 
 from ..core.fields import BN254_FR as R
-from .builder import LC, ConstraintSystem, Var
+from .builder import LC, ConstraintSystem
 
 LIMB = 120
 

@@ -18,11 +18,10 @@ config's max_cred_len), like the circom templates.
 
 from __future__ import annotations
 
-import hashlib
 
 from ..core.fields import BN254_FR as R
 from .bigint import LIMB as RSA_LIMB
-from .bigint import int_to_limbs, pkcs1v15_sha256_encode, rsa65537_verify_gadget
+from .bigint import int_to_limbs, pkcs1v15_sha256_encode
 from .builder import LC, ConstraintSystem, Var
 from .sha256 import sha256_var_gadget
 

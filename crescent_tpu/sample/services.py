@@ -384,9 +384,12 @@ class VerifierService:
                 if self.route == "/verify":
                     body = json.loads(self._read_body())
                     try:
+                        # extension clients send proof_spec: null when the
+                        # page has no crescent_proof_spec tag (content.js
+                        # send-proof) — treat null like absent
                         ok, revealed = svc.verify(
                             body["proof"],
-                            body.get("proof_spec", api.DEFAULT_PROOF_SPEC),
+                            body.get("proof_spec") or api.DEFAULT_PROOF_SPEC,
                             body.get("challenge", ""),
                         )
                     except Exception as e:

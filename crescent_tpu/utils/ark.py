@@ -40,15 +40,13 @@ re-running the pairing from the generated ell coefficients (see
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
-from ..core.curves import AffinePoint, BN254G2, BN254_G1, G2Point
+from ..core.curves import AffinePoint, BN254G2, G2Point
 from ..core.fields import BN254_FQ as P
-from ..core.fields import BN254_FR as R
 from ..core.fields import Fq2, Fq6, Fq12
 from .serialize import (
     deser_fr,
-    ser_fq,
     ser_fq2,
     ser_fr,
     ser_g1_uncompressed,

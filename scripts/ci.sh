@@ -2,6 +2,8 @@
 # CI harness — the build_all.sh / .github/workflows/CI.yml:52-185 equivalent.
 #
 # Stages:
+#   0. lint (stdlib AST gate — the clippy/CodeQL stage equivalent,
+#      .github/workflows/CI.yml + codeql.yml; no 3rd-party linter in-image)
 #   1. unit + e2e test suite (CPU; conftest forces the CPU backend and an
 #      8-device virtual mesh)
 #   2. CLI matrix: gen-fixtures -> zksetup -> prove -> show -> verify for
@@ -16,6 +18,9 @@
 
 set -euo pipefail
 cd "$(dirname "$0")/.."
+
+echo "=== [0/5] lint ==="
+python scripts/lint.py
 
 echo "=== [1/5] pytest ==="
 python -m pytest tests/ -x -q

@@ -133,3 +133,125 @@ def test_end_to_end_mdl1():
         bad2.revealed_preimages = json.dumps(pre)
         ok_bad2, _ = api.verify_show_mdl(vp, bad2, spec, now_seconds=now)
         assert not ok_bad2
+
+
+def test_x509_chain_issuance():
+    """gen_x509_cert_chain.sh semantics + x5chain in the IssuerAuth
+    unprotected header (mdl-gen.rs:135-150, RFC 9360 label 33)."""
+    import base64
+
+    from cryptography import x509
+    from cryptography.hazmat.primitives.asymmetric import ec, padding  # noqa: F401
+    from cryptography.hazmat.primitives.serialization import Encoding
+
+    from crescent_tpu.credentials.mdl import gen_x509_cert_chain, issue_mdl
+    from crescent_tpu.credentials.prep_inputs import parse_config
+
+    priv, pub, chain_pem = gen_x509_cert_chain()
+    certs = x509.load_pem_x509_certificates(chain_pem.encode())
+    assert len(certs) == 3
+    leaf, ca, root = certs
+    # chain-of-signatures: root self-signed, CA by root, leaf by CA
+    root.verify_directly_issued_by(root)
+    ca.verify_directly_issued_by(root)
+    leaf.verify_directly_issued_by(ca)
+    # parameters from the reference script
+    assert isinstance(leaf.public_key().curve, ec.SECP256R1)
+    assert isinstance(ca.public_key().curve, ec.SECP384R1)
+    assert isinstance(root.public_key().curve, ec.SECP521R1)
+    assert leaf.subject.rfc4514_string() == "CN=NY DMV Test Issuer"
+    assert ca.subject.rfc4514_string() == "CN=NY DMV Test CA"
+    assert root.subject.rfc4514_string() == "CN=NY DMV Test Root CA"
+    # leaf pubkey matches the returned issuer.pub
+    from cryptography.hazmat.primitives.serialization import (
+        PublicFormat, load_pem_public_key,
+    )
+
+    assert leaf.public_key().public_bytes(
+        Encoding.PEM, PublicFormat.SubjectPublicKeyInfo
+    ).decode() == pub
+
+    # issuance embeds the chain into IssuerAuth's unprotected header
+    config = parse_config(json.dumps({
+        "alg": "ES256", "credtype": "mdl", "max_cred_len": 1792,
+        "family_name": {"type": "string", "reveal": True,
+                        "max_claim_byte_len": 62},
+    }))
+    pi, aux = issue_mdl(
+        config, {"family_name": "Doe"}, "2033-01-01", priv,
+        device_pub_pem=None, rng=random.Random(3), x5chain_pem=chain_pem,
+    )
+    ia = base64.urlsafe_b64decode(aux["issuer_auth"])
+    # minimal CBOR decoder (enough for COSE_Sign1 + x5chain structures)
+    def dec(b, i=0):
+        mt, arg = b[i] >> 5, b[i] & 0x1F
+        i += 1
+        if arg == 24:
+            arg, i = b[i], i + 1
+        elif arg == 25:
+            arg, i = int.from_bytes(b[i:i + 2], "big"), i + 2
+        elif arg == 26:
+            arg, i = int.from_bytes(b[i:i + 4], "big"), i + 4
+        if mt == 0:
+            return arg, i
+        if mt == 1:
+            return -1 - arg, i
+        if mt in (2, 3):
+            v = b[i:i + arg]
+            return (v if mt == 2 else v.decode()), i + arg
+        if mt == 4:
+            out = []
+            for _ in range(arg):
+                v, i = dec(b, i)
+                out.append(v)
+            return out, i
+        if mt == 5:
+            out = {}
+            for _ in range(arg):
+                k, i = dec(b, i)
+                v, i = dec(b, i)
+                out[k] = v
+            return out, i
+        if mt == 6:
+            v, i = dec(b, i)
+            return ("tag", arg, v), i
+        raise AssertionError(f"cbor mt {mt}")
+
+    cose, end = dec(ia)
+    assert end == len(ia)
+    protected, unprotected, payload, sig = cose
+    assert protected == bytes([0xA1, 0x01, 0x26])
+    # x5chain: label 33, DER certs leaf-first, verbatim
+    ders = [c.public_bytes(Encoding.DER) for c in certs]
+    assert unprotected == {33: ders}
+    # payload is the tag24-wrapped MSO
+    tag = dec(payload)[0]
+    assert tag[0] == "tag" and tag[1] == 24
+    # signature over the Sig_structure verifies with the leaf key
+    from cryptography.hazmat.primitives import hashes
+    from cryptography.hazmat.primitives.asymmetric.utils import (
+        encode_dss_signature,
+    )
+    from crescent_tpu.utils import cbor as _c
+
+    tbs = (b"\x84" + _c.encode("Signature1") + _c.encode(protected)
+           + _c.encode(b"") + _c.encode(payload))
+    r = int.from_bytes(sig[:32], "big")
+    s = int.from_bytes(sig[32:], "big")
+    leaf.public_key().verify(
+        encode_dss_signature(r, s), tbs, ec.ECDSA(hashes.SHA256())
+    )
+
+
+def test_x509_chain_reuses_existing_key():
+    from cryptography.hazmat.primitives.serialization import (
+        load_pem_private_key,
+    )
+
+    from crescent_tpu.credentials.mdl import (
+        gen_x509_cert_chain, generate_es256_issuer_keypair,
+    )
+
+    priv0, pub0 = generate_es256_issuer_keypair()
+    priv, pub, chain = gen_x509_cert_chain(issuer_priv_pem=priv0)
+    assert pub == pub0

@@ -3,7 +3,6 @@
 import hashlib
 import random
 
-import pytest
 
 from crescent_tpu.r1cs import bigint as bg
 from crescent_tpu.r1cs.builder import ConstraintSystem

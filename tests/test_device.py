@@ -2,7 +2,6 @@
 
 import random
 
-import pytest
 
 from crescent_tpu.core.curves import P256
 from crescent_tpu.core.fields import BN254_FR as R

@@ -9,7 +9,7 @@ import pytest
 from crescent_tpu.core import curves
 from crescent_tpu.core.fields import BN254_FR, Fr
 from crescent_tpu.ops import limb, msm, ntt
-from crescent_tpu.ops.ec import JPoints, get_curve_ctx
+from crescent_tpu.ops.ec import get_curve_ctx
 
 rng = random.Random(99)
 

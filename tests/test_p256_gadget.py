@@ -8,7 +8,6 @@ a real ES256 signature (cryptography lib) and rejects a tampered one.
 import hashlib
 import random
 
-import pytest
 
 from crescent_tpu.core.curves import P256
 from crescent_tpu.r1cs import p256 as nn

@@ -1,8 +1,6 @@
 """JWT input-preparation pipeline tests (prep_inputs.rs semantics)."""
 
-import hashlib
 import json
-import random
 
 import pytest
 
@@ -17,7 +15,6 @@ from crescent_tpu.credentials.prep_inputs import (
     parse_config,
     prepare_prover_inputs,
     sha256_padding,
-    to_circom_ints,
     unpack_int_to_string_unquoted,
 )
 from crescent_tpu.utils import jwt as jwtutil

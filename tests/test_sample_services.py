@@ -6,7 +6,6 @@
 import json
 import random
 import re
-import tempfile
 import time
 import urllib.request
 
@@ -131,3 +130,127 @@ def test_http_end_to_end(stack):
     # delete
     assert json.loads(_get(helper + f"/delete?cred_uid={uid}"))["ok"]
     assert json.loads(_get(helper + f"/status?cred_uid={uid}"))["status"] == "unknown"
+
+
+# ---------------------------------------------------------------------------
+# Browser-extension smoke (sample/client/): no JS runtime ships in this
+# image, so the test drives the extension's PROTOCOL — the exact meta-tag
+# scanning semantics of content.js (name= and attribute-style tags) over
+# the real issuer page and the checked-in test pages, then the
+# import -> prepare -> disclose -> POST-to-verifier flow background.js
+# performs — against live services.  Reference flow:
+# sample/client/src/content.ts:14-37 + background orchestration.
+# ---------------------------------------------------------------------------
+
+import os
+
+_CLIENT_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "sample", "client",
+)
+
+
+def _meta_tags(html: str) -> list[dict]:
+    from html.parser import HTMLParser
+
+    class P(HTMLParser):
+        def __init__(self):
+            super().__init__()
+            self.metas = []
+
+        def handle_starttag(self, tag, attrs):
+            if tag == "meta":
+                self.metas.append({k: (v or "") for k, v in attrs})
+
+    p = P()
+    p.feed(html)
+    return p.metas
+
+
+def _get_named_meta(metas, name):
+    """content.js getNamedMeta: <meta name=... content=...>."""
+    for m in metas:
+        if m.get("name") == name:
+            return m.get("content", "")
+    return ""
+
+
+def _get_meta_tag(metas, name):
+    """content.js getMetaTag: attribute-style first, then name=."""
+    for m in metas:
+        if name in m:
+            return m[name]
+    return _get_named_meta(metas, name)
+
+
+def test_extension_manifest_and_sources():
+    manifest = json.load(open(os.path.join(_CLIENT_DIR, "manifest.json")))
+    assert manifest["manifest_version"] == 3
+    files = {manifest["background"]["service_worker"]}
+    for cs in manifest["content_scripts"]:
+        files.update(cs["js"])
+    files.add(manifest["action"]["default_popup"])
+    for f in files:
+        assert os.path.exists(os.path.join(_CLIENT_DIR, f)), f
+    # the meta names the content script scans are the protocol surface
+    src = open(os.path.join(_CLIENT_DIR, "content.js")).read()
+    for name in (
+        "CRESCENT_JWT", "CRESCENT_SCHEMA_UID", "crescent_verify_url",
+        "crescent_disclosure_uid", "crescent_challenge", "crescent_proof_spec",
+    ):
+        assert name in src, name
+
+
+def test_extension_flow_against_live_services(stack):
+    ports = stack
+    issuer = f"http://127.0.0.1:{ports['issuer']}"
+    helper = f"http://127.0.0.1:{ports['helper']}"
+
+    # -- content.js scanForCredential on the real issuer page --------------
+    page = _get(issuer + "/welcome?user=alice").decode()
+    metas = _meta_tags(page)
+    jwt = _get_named_meta(metas, "CRESCENT_JWT")
+    assert jwt
+    schema_uid = _get_named_meta(metas, "CRESCENT_SCHEMA_UID") or "jwt_corporate_1"
+
+    # the checked-in issuer test page exposes the same tag names
+    ipage = open(os.path.join(_CLIENT_DIR, "test", "issuer.html")).read()
+    imetas = _meta_tags(ipage)
+    assert _get_named_meta(imetas, "CRESCENT_JWT")
+    assert _get_named_meta(imetas, "CRESCENT_SCHEMA_UID") == "jwt_corporate_1"
+
+    # -- background.js handlePrepare: POST /prepare + /status poll ---------
+    uid = _post(helper + "/prepare", {"cred": jwt, "schema_uid": schema_uid})[
+        "cred_uid"
+    ]
+    deadline = time.time() + 600
+    status = None
+    while time.time() < deadline:
+        status = json.loads(_get(helper + f"/status?cred_uid={uid}"))["status"]
+        if status == "ready":
+            break
+        time.sleep(2)
+    assert status == "ready"
+
+    # -- content.js queryDisclosureRequest on the test verifier page -------
+    vpage = open(os.path.join(_CLIENT_DIR, "test", "verifier.html")).read()
+    vmetas = _meta_tags(vpage)
+    url = _get_meta_tag(vmetas, "crescent_verify_url")
+    disc_uid = _get_meta_tag(vmetas, "crescent_disclosure_uid")
+    challenge = _get_meta_tag(vmetas, "crescent_challenge")
+    proof_spec = _get_meta_tag(vmetas, "crescent_proof_spec") or None
+    assert url and disc_uid and challenge  # the content.js gating condition
+
+    # -- background.js handleDisclose: GET /show -> POST to the page URL ---
+    qs = f"cred_uid={uid}&disc_uid={urllib.parse.quote(disc_uid)}&challenge={challenge}"
+    proof = _get(helper + f"/show?{qs}").decode()
+    # the static page pins :8004; rebase onto the live ephemeral port
+    target = url.replace(
+        "localhost:8004", f"127.0.0.1:{ports['verifier']}"
+    )
+    res = _post(
+        target,
+        {"proof": proof, "proof_spec": proof_spec, "challenge": challenge},
+    )
+    assert res["verified"] is True
+    assert json.loads(res["revealed"])["email_value"] == "contoso.com"
