@@ -80,6 +80,7 @@ def bench_msm_g1(log_n: int = 16) -> dict:
 def bench_msm_g2(log_n: int = 12) -> dict:
     """BN254 G2 MSM (ecc_bench.rs msm benches run G2 too)."""
     import jax.numpy as jnp
+    import numpy as np
 
     from .core.curves import BN254G2
     from .ops import limb
@@ -98,11 +99,22 @@ def bench_msm_g2(log_n: int = 12) -> dict:
         for _ in range(4)
     ]
     dt = _t(lambda i: m.run_device(P.x, P.y, valid, scs[i]))
+    # oracle gate: the device G2 path (QuadPallasEC AffineMSM on TPU, scan
+    # elsewhere) must match the host Pippenger on a subset
+    ng = 128
+    sub = m.run_device(P.x[:ng], P.y[:ng], valid[:ng], scs[0][:ng])
+    got = m.ctx.points_to_host(
+        type(sub)(sub.x[None], sub.y[None], sub.z[None])
+    )[0]
+    ks = limb.limbs_to_ints(np.asarray(scs[0][:ng]))
+    want = BN254G2.msm(ks, pts[:ng])
+    ok = got == want
     return {
         "metric": "bn254_g2_msm_points_per_sec",
         "value": round(n / dt, 1),
         "unit": "points/s",
         "n": n,
+        "oracle_ok": bool(ok),
     }
 
 

@@ -44,10 +44,6 @@ def _pallas_for(ctx: CurveCtx):
     """PallasEC instance if the fused path applies to this curve, else None."""
     import os
 
-    if hasattr(ctx.fctx, "base"):  # QuadCtx (G2/Fq2): XLA path
-        # (QuadCtx also exposes .modulus — the base characteristic — so a
-        # hasattr("modulus") check no longer distinguishes it)
-        return None
     enabled = USE_PALLAS
     if enabled is None:
         enabled = (
@@ -56,6 +52,12 @@ def _pallas_for(ctx: CurveCtx):
         )
     if not enabled:
         return None
+    if hasattr(ctx.fctx, "base"):  # QuadCtx (G2/Fq2): fused _F2 kernels
+        from .pallas_ec import get_quad_pallas_ec
+
+        if not ctx.a_is_zero:
+            return None
+        return get_quad_pallas_ec(ctx.fctx.modulus)
     return get_pallas_ec(ctx.fctx.modulus, ctx.a_host % ctx.fctx.modulus)
 
 

@@ -57,6 +57,21 @@ def _cummax(x):
     return jax.lax.associative_scan(jnp.maximum, x)
 
 
+def _gather_blocks(a, starts, width: int):
+    """Contiguous-block gather via vmap(dynamic_slice): rows
+    a[..., s : s+width] for each s.  NOT used on the MSM hot path — on TPU
+    the blocked lowering measured 3.4x slower than `width` independent
+    1-D gathers (kept for reference/experiments; see PERF.md round 4)."""
+    if a.ndim == 1:
+        return jax.vmap(lambda p: jax.lax.dynamic_slice(a, (p,), (width,)))(
+            starts
+        )
+    return jax.vmap(
+        lambda p: jax.lax.dynamic_slice(a, (0, p), (a.shape[0], width)),
+        out_axes=1,
+    )(starts)
+
+
 def quantize(n: int, floor: int = 512) -> int:
     """Round up into the quarter-power-of-two family {2^k * (4+i)/4}.
     Halving a family member stays in the family, so the product-tree levels
@@ -74,9 +89,10 @@ class AffineMSM:
     One jitted program per (padded) input size; everything device-side."""
 
     def __init__(self, ctx: CurveCtx, pec, c: int = 11, min_bucket: int = 512,
-                 inv_floor: int = 4096):
+                 inv_floor: int = 512):
         self.ctx = ctx
         self.pec = pec
+        self.rows = getattr(pec, "ROWS", NLIMB)  # u32 planes per coordinate
         self.c = c
         self.min_bucket = min_bucket
         self.inv_floor = inv_floor
@@ -89,9 +105,15 @@ class AffineMSM:
 
     # -- batch inversion (device Fermat root) ---------------------------------
     def _batch_inv(self, d):
-        """Montgomery product-tree inversion of (16, n) nonzero values:
+        """Montgomery product-tree inversion of (rows, n) nonzero values:
         ~3 muls per element + one single-block Fermat kernel on the root.
-        The unwind runs both per-level muls in one fused launch."""
+        The unwind runs both per-level muls in one fused launch.
+
+        inv_floor trades tree launches for Fermat lanes: the 256-iteration
+        exponent loop costs ~0.53 us/lane, so a 4096-wide root burned ~2 ms
+        per inversion (x22 per MSM).  Measured on v5e at 2^16 (profile_msm_r4):
+        floor 4096 -> 290 ms, 1024 -> 229 ms, 512 -> 221 ms (the pallas block
+        floor; lower just pads back up).  512 is the default."""
         levels = [d]
         while levels[-1].shape[1] > self.inv_floor:
             cur = levels[-1]
@@ -106,7 +128,7 @@ class AffineMSM:
                 jnp.concatenate([ro, le], axis=1),
             )
             inv = jnp.stack([both[:, :w], both[:, w:]], axis=2).reshape(
-                NLIMB, cur.shape[1]
+                self.rows, cur.shape[1]
             )
         return inv
 
@@ -130,8 +152,11 @@ class AffineMSM:
 
     def _round(self, pk, ex, ey, mn: int):
         """One 4-ary reduction round on survivor arrays (rounds >= 2).
-        pk: (m,) packed keys (key<<1 | valid); ex/ey: (16, m).  Same
-        rank-mod-4 packing as _round1: one 1-D gather per quad slot."""
+        pk: (m,) packed keys (key<<1 | valid); ex/ey: (rows, m).  One 1-D
+        gather + two coordinate gathers per quad slot.  (A width-4 block
+        gather over the contiguous hp..hp+3 slots via vmap(dynamic_slice)
+        was measured 3.4x SLOWER end-to-end on TPU — XLA lowers the
+        blocked form worse than four independent gathers; see PERF.md.)"""
         m = pk.shape[0]
         i = jnp.arange(m, dtype=I32)
         seg = pk >> 1
@@ -141,7 +166,6 @@ class AffineMSM:
         hp = jnp.argsort(jnp.where(head, 0, 1).astype(jnp.uint8),
                          stable=True)[:mn].astype(I32)
         kaug = seg << 3 | (rank.astype(U32) & 3) << 1 | (pk & 1)
-        kseg = seg[hp]
         g0 = None
         parts = []
         for t in range(4):
@@ -150,7 +174,11 @@ class AffineMSM:
             if t == 0:
                 g0 = g
             ok = (hp + t < m) & (((g >> 1) & 3) == t)
-            parts.append((ex[:, pos], ey[:, pos], (ok & ((g & 1) != 0)).astype(U32)))
+            parts.append(
+                (ex[:, pos], ey[:, pos], (ok & ((g & 1) != 0)).astype(U32))
+            )
+        # the segment id rides in the key word's high bits — no seg gather
+        kseg = g0 >> 3
         in_r = ((g0 >> 1) & 3) == 0
         nx, ny, nv = self._pair_levels(parts, kseg, in_r, mn)
         npk = jnp.where(in_r, kseg * 2 + nv, jnp.uint32(2 * self.sentinel))
@@ -193,7 +221,7 @@ class AffineMSM:
             idx = (g >> 4).astype(I32) + ((g >> 3) & 1).astype(I32) * n
             xy = txy[:, idx]
             parts.append(
-                (xy[:NLIMB], xy[NLIMB:], (ok & ((g & 1) != 0)).astype(U32))
+                (xy[: self.rows], xy[self.rows :], (ok & ((g & 1) != 0)).astype(U32))
             )
         in_r = ((g0 >> 1) & 3) == 0  # hp points at a real quad head
         nx, ny, nv = self._pair_levels(parts, kseg, in_r, mn)
@@ -210,25 +238,26 @@ class AffineMSM:
         ev = (pk & 1).astype(U32)
         keys = pk >> 1
         idx = jnp.where(ev != 0, keys.astype(I32), jnp.int32(WB))
-        dx = jnp.zeros((NLIMB, WB), U32).at[:, idx].set(ex, mode="drop")
-        dy = jnp.zeros((NLIMB, WB), U32).at[:, idx].set(ey, mode="drop")
+        R = self.rows
+        dx = jnp.zeros((R, WB), U32).at[:, idx].set(ex, mode="drop")
+        dy = jnp.zeros((R, WB), U32).at[:, idx].set(ey, mode="drop")
         dv = jnp.zeros((1, WB), U32).at[:, idx].set(ev[None, :], mode="drop")[0]
         one = jnp.asarray(
             self.ctx.fctx.to_mont_host([self.ctx.fctx.host_one])[0]
-        ).astype(U32)
+        ).reshape(R).astype(U32)
         dz = jnp.where(dv[None, :] != 0, one[:, None], jnp.uint32(0))
 
         # per-window suffix sums: running_b = sum_{b'>=b} S_b' (shift-add)
-        x3 = lambda a: a.reshape(NLIMB, W, B)
+        x3 = lambda a: a.reshape(R, W, B)
         rx_, ry_, rz_ = dx, dy, dz
         j = 1
         while j < B:
             def shift(a):
                 a = x3(a)
                 a = jnp.concatenate(
-                    [a[:, :, j:], jnp.zeros((NLIMB, W, j), U32)], axis=2
+                    [a[:, :, j:], jnp.zeros((R, W, j), U32)], axis=2
                 )
-                return a.reshape(NLIMB, WB)
+                return a.reshape(R, WB)
             rx_, ry_, rz_ = pec.jadd(rx_, ry_, rz_, shift(rx_), shift(ry_), shift(rz_))
             j *= 2
 
@@ -240,23 +269,23 @@ class AffineMSM:
         while n > 1:
             h = n // 2
             ax, ay, az = pec.jadd(
-                ax[:, :, :h].reshape(NLIMB, W * h),
-                ay[:, :, :h].reshape(NLIMB, W * h),
-                az[:, :, :h].reshape(NLIMB, W * h),
-                ax[:, :, h:].reshape(NLIMB, W * h),
-                ay[:, :, h:].reshape(NLIMB, W * h),
-                az[:, :, h:].reshape(NLIMB, W * h),
+                ax[:, :, :h].reshape(R, W * h),
+                ay[:, :, :h].reshape(R, W * h),
+                az[:, :, :h].reshape(R, W * h),
+                ax[:, :, h:].reshape(R, W * h),
+                ay[:, :, h:].reshape(R, W * h),
+                az[:, :, h:].reshape(R, W * h),
             )
-            ax, ay, az = (a.reshape(NLIMB, W, h) for a in (ax, ay, az))
+            ax, ay, az = (a.reshape(R, W, h) for a in (ax, ay, az))
             n = h
 
         # window combine: result = sum_w acc_w * 2^(c*w) by a doubling tree:
         # level j pairs (2t, 2t+1) with the odd half doubled c*2^j times
         # (identity-padded up to a power of two).
         Wp = 1 << (W - 1).bit_length()
-        ax = jnp.pad(ax.reshape(NLIMB, W), ((0, 0), (0, Wp - W)))
-        ay = jnp.pad(ay.reshape(NLIMB, W), ((0, 0), (0, Wp - W)))
-        az = jnp.pad(az.reshape(NLIMB, W), ((0, 0), (0, Wp - W)))
+        ax = jnp.pad(ax.reshape(R, W), ((0, 0), (0, Wp - W)))
+        ay = jnp.pad(ay.reshape(R, W), ((0, 0), (0, Wp - W)))
+        az = jnp.pad(az.reshape(R, W), ((0, 0), (0, Wp - W)))
         shift = c
         while Wp > 1:
             h = Wp // 2
@@ -294,14 +323,20 @@ class AffineMSM:
                 from .msm import scalar_digits_signed
 
                 digits, signs = scalar_digits_signed(scalars, self.c)
+                # -y through the field adapter's element layout (Fp: (16,);
+                # Fq2: (2, 16)), then back to flat (rows,) planes
+                esh = ctx.fctx.elem_shape
+                neg_py = ctx.fctx.neg_mod(py.reshape((n,) + esh)).reshape(
+                    n, self.rows
+                )
                 xt = px.T
                 txy = jnp.concatenate(
                     [
                         jnp.concatenate([xt, xt], axis=1),
-                        jnp.concatenate([py.T, ctx.fctx.neg_mod(py).T], axis=1),
+                        jnp.concatenate([py.T, neg_py.T], axis=1),
                     ],
                     axis=0,
-                )  # (32, 2n): column j -> (x, y); column n+j -> (x, -y)
+                )  # (2*rows, 2n): column j -> (x, y); column n+j -> (x, -y)
                 valid = (digits != 0) & (pvalid[:, None] != 0)
                 keys = jnp.where(
                     valid,
@@ -330,9 +365,13 @@ class AffineMSM:
         return self._msm[n]
 
     def run(self, px, py, pvalid, scalars) -> JPoints:
-        """px/py: (N, 16) Montgomery affine; pvalid: (N,) 0/1; scalars:
-        (N, 16) standard-form limbs.  Returns one Jacobian point."""
+        """px/py: (N, *elem_shape) Montgomery affine — (N, 16) for Fp,
+        (N, 2, 16) for Fq2 (flattened internally to (N, rows) planes);
+        pvalid: (N,) 0/1; scalars: (N, 16) standard-form limbs.
+        Returns one Jacobian point with (rows,)-plane coordinates."""
         n = px.shape[0]
+        px = px.reshape(n, self.rows)
+        py = py.reshape(n, self.rows)
         nq = quantize(n, self.min_bucket)
         if nq != n:
             pad = [(0, nq - n)]
@@ -341,4 +380,5 @@ class AffineMSM:
             pvalid = jnp.pad(pvalid, pad)
             scalars = jnp.pad(scalars, pad + [(0, 0)])
         x, y, z = self._get_msm(nq)(px, py, pvalid, scalars)
-        return JPoints(x, y, z)
+        esh = self.ctx.fctx.elem_shape  # back to the ctx element layout
+        return JPoints(x.reshape(esh), y.reshape(esh), z.reshape(esh))

@@ -334,6 +334,73 @@ def _jadd_body(f: _F, a_mont, a_is_zero, X1, Y1, Z1, X2, Y2, Z2):
     return x, y, z
 
 
+class _F2:
+    """Fq2 = Fq[u]/(u^2 + 1) over a base _F, on stacked planes (32, B):
+    rows 0:16 the real component, rows 16:32 the imaginary one.
+
+    Duck-types _F's method set, so every point-formula body in this file
+    (_double, _madd_body, _jadd_body, _affine_*) compiles unchanged into a
+    single fused Fq2 pallas kernel — the TPU-native analog of arkworks'
+    generic `SWCurveConfig<Fp2>` (forks/halo2curves src/bn256/fq2.rs
+    semantics; nonresidue -1, Karatsuba: 3 base muls per Fq2 mul)."""
+
+    def __init__(self, base: "_F", one_base=None):
+        self.b = base
+        # base.one_mont is a lane-offset slice of the consts operand
+        # (cc[:, 2:3] -> vreg offset {0,2}); Mosaic refuses to concatenate
+        # operands whose non-concat-dim offsets differ, and elementwise +0
+        # just propagates the offset.  A lane rotate (tpu.dynamic_rotate)
+        # materializes a fresh offset-0 value, so callers pass
+        # one_base = roll(cc, -2, axis=1)[:, 0:1].
+        om = base.one_mont if one_base is None else one_base
+        self.one_mont = jnp.concatenate([om, jnp.zeros((L, 1), U32)], axis=0)
+
+    @staticmethod
+    def _split(x):
+        return x[:L], x[L:]
+
+    def mont_mul(self, x, y):
+        b = self.b
+        x0, x1 = self._split(x)
+        y0, y1 = self._split(y)
+        t0 = b.mont_mul(x0, y0)
+        t1 = b.mont_mul(x1, y1)
+        t2 = b.mont_mul(b.add(x0, x1), b.add(y0, y1))
+        return jnp.concatenate(
+            [b.sub(t0, t1), b.sub(b.sub(t2, t0), t1)], axis=0
+        )
+
+    def sqr(self, x):
+        b = self.b
+        x0, x1 = self._split(x)
+        c0 = b.mont_mul(b.add(x0, x1), b.sub(x0, x1))
+        t = b.mont_mul(x0, x1)
+        return jnp.concatenate([c0, b.add(t, t)], axis=0)
+
+    def _map2(self, op, x, y):
+        x0, x1 = self._split(x)
+        y0, y1 = self._split(y)
+        return jnp.concatenate([op(x0, y0), op(x1, y1)], axis=0)
+
+    def add(self, x, y):
+        return self._map2(self.b.add, x, y)
+
+    def sub(self, x, y):
+        return self._map2(self.b.sub, x, y)
+
+    def neg(self, x):
+        x0, x1 = self._split(x)
+        return jnp.concatenate([self.b.neg(x0), self.b.neg(x1)], axis=0)
+
+    def dbl(self, x):
+        return self.add(x, x)
+
+    def is_zero(self, x):
+        return jnp.all(x == 0, axis=0, keepdims=True)  # (1, B) bool
+
+    sel = staticmethod(_F.sel)
+
+
 # ---------------------------------------------------------------------------
 # Affine pair formulas (for the sorted-segment MSM accumulator, ops/msm_affine)
 # ---------------------------------------------------------------------------
@@ -394,6 +461,8 @@ class PallasEC:
     a multiple of `block`.  `madd`: mixed add with per-lane valid/sign flags.
     `jadd`: complete Jacobian add.
     """
+
+    ROWS = L  # u32 planes per field element (32 for the Fq2 subclass)
 
     def __init__(self, modulus: int, a_host: int, block: int = 512):
         self.modulus = modulus
@@ -499,12 +568,14 @@ class PallasEC:
         ox[:], oy[:] = x, y
         ov[:] = jnp.broadcast_to(v.astype(U32), (1, x.shape[1]))
 
-    def _get_call(self, kind, kernel, n_elem, n_in, flag_rows=0, out_rows=(L, L, L)):
+    def _get_call(self, kind, kernel, n_elem, n_in, flag_rows=0, out_rows=None):
+        if out_rows is None:
+            out_rows = (self.ROWS,) * 3
         bt = min(self.block, n_elem)
         assert n_elem % bt == 0, (n_elem, bt)
         key = (kind, n_elem)
         if key not in self._calls:
-            eb = pl.BlockSpec((L, bt), lambda i: (0, i))
+            eb = pl.BlockSpec((self.ROWS, bt), lambda i: (0, i))
             specs = [
                 pl.BlockSpec((L, 4), lambda i: (0, 0)),
                 pl.BlockSpec((32, 32), lambda i: (0, 0)),
@@ -557,7 +628,7 @@ class PallasEC:
         n = x.shape[1]
         npad = -n % self.block + n
         x, y = self._pad([x, y], n, npad)
-        call = self._get_call("mul", self._mul_kernel, npad, 2, out_rows=(L,))
+        call = self._get_call("mul", self._mul_kernel, npad, 2, out_rows=(self.ROWS,))
         (o,) = call(self.consts, self.m_ninv, self.m_n, x, y)
         return o[:, :n]
 
@@ -566,7 +637,7 @@ class PallasEC:
         n = a.shape[1]
         npad = -n % self.block + n
         a, b, tw = self._pad([a, b, tw], n, npad)
-        call = self._get_call("bfly", self._bfly_kernel, npad, 3, out_rows=(L, L))
+        call = self._get_call("bfly", self._bfly_kernel, npad, 3, out_rows=(self.ROWS, self.ROWS))
         o0, o1 = call(self.consts, self.m_ninv, self.m_n, a, b, tw)
         return o0[:, :n], o1[:, :n]
 
@@ -585,7 +656,7 @@ class PallasEC:
         if key not in self._calls:
             from jax.experimental.pallas import tpu as pltpu
 
-            eb = pl.BlockSpec((L, bt), lambda i: (0, i))
+            eb = pl.BlockSpec((self.ROWS, bt), lambda i: (0, i))
             self._calls[key] = pl.pallas_call(
                 self._inv_kernel,
                 grid=(npad // bt,),
@@ -597,7 +668,7 @@ class PallasEC:
                     eb,
                 ],
                 out_specs=[eb],
-                out_shape=[jax.ShapeDtypeStruct((L, npad), U32)],
+                out_shape=[jax.ShapeDtypeStruct((self.ROWS, npad), U32)],
                 interpret=_use_interpret(),
             )
         e = self.modulus - 2
@@ -638,7 +709,7 @@ class PallasEC:
         flags = jnp.stack([lv.astype(U32), rv.astype(U32)], axis=0)
         lx, ly, rx, ry, flags = self._pad([lx, ly, rx, ry, flags], n, npad)
         call = self._get_call(
-            "adenom", self._adenom_kernel, npad, 4, flag_rows=2, out_rows=(L,)
+            "adenom", self._adenom_kernel, npad, 4, flag_rows=2, out_rows=(self.ROWS,)
         )
         (d,) = call(self.consts, self.m_ninv, self.m_n, lx, ly, rx, ry, flags)
         return d[:, :n]
@@ -651,7 +722,7 @@ class PallasEC:
         flags = jnp.stack([lv.astype(U32), rv.astype(U32)], axis=0)
         lx, ly, rx, ry, inv, flags = self._pad([lx, ly, rx, ry, inv, flags], n, npad)
         call = self._get_call(
-            "aadd", self._aadd_kernel, npad, 5, flag_rows=2, out_rows=(L, L, 1)
+            "aadd", self._aadd_kernel, npad, 5, flag_rows=2, out_rows=(self.ROWS, self.ROWS, 1)
         )
         ox, oy, ov = call(self.consts, self.m_ninv, self.m_n, lx, ly, rx, ry, inv, flags)
         return ox[:, :n], oy[:, :n], ov[0, :n]
@@ -660,3 +731,62 @@ class PallasEC:
 @functools.lru_cache(maxsize=None)
 def get_pallas_ec(modulus: int, a_host_mod: int, block: int = 512) -> PallasEC:
     return PallasEC(modulus, a_host_mod, block)
+
+
+# ---------------------------------------------------------------------------
+# Fq2 (BN254 G2) kernels: same bodies, _F2 field, 32-row planes
+# ---------------------------------------------------------------------------
+
+class QuadPallasEC(PallasEC):
+    """Fused Fq2 point kernels for BN254 G2 on stacked (32, B) planes.
+
+    Every kernel body is shared with the base-field class — `_field` swaps
+    in `_F2`, so a G2 jadd/affine-add is still ONE pallas launch with all
+    Karatsuba intermediates in VMEM.  Replaces the reference's curve-generic
+    parallel Pippenger over G2Affine (forks/halo2curves/src/msm.rs:432-464 +
+    ark-ec Fp2 arithmetic) with the same segmented-affine accumulator the G1
+    path uses (ops/msm_affine.py runs unmodified at rows=32).
+
+    Inversion: 1/(a+bu) = (a - bu)/(a^2+b^2) — ONE kernel computing the
+    norm, a 256-bit base-field Fermat loop on it, and the two component
+    muls, so `inv`'s single-launch contract holds for the Fq2 tree too.
+    """
+
+    ROWS = 2 * L
+
+    def __init__(self, modulus: int, a_host: int = 0, block: int = 512):
+        assert a_host == 0, "QuadPallasEC supports a == 0 curves (BN254 G2)"
+        super().__init__(modulus, a_host, block)
+
+    def _field(self, consts_ref, mninv_ref, mn_ref):
+        base, _ = super()._field(consts_ref, mninv_ref, mn_ref)
+        cc = consts_ref[:]
+        one0 = jnp.roll(cc, -2, axis=1)[:, 0:1]  # offset-0 copy of mont 1
+        return _F2(base, one0), None
+
+    def _inv_kernel(self, consts, mninv, mn, ebits, x, o):
+        """Batched Fq2 inversion via the norm map (one launch)."""
+        base, _ = PallasEC._field(self, consts, mninv, mn)
+        xx = x[:]
+        x0, x1 = xx[:L], xx[L:]
+        nrm = base.add(base.sqr(x0), base.sqr(x1))
+        one = jnp.broadcast_to(base.one_mont, nrm.shape)
+
+        def body(i, acc):
+            acc = base.sqr(acc)
+            mul = base.mont_mul(acc, nrm)
+            return jnp.where(ebits[i] != 0, mul, acc)
+
+        ninv = jax.lax.fori_loop(0, 256, body, one)
+        o[:] = jnp.concatenate(
+            [
+                base.mont_mul(x0, ninv),
+                base.mont_mul(base.neg(x1), ninv),
+            ],
+            axis=0,
+        )
+
+
+@functools.lru_cache(maxsize=None)
+def get_quad_pallas_ec(modulus: int, block: int = 512) -> QuadPallasEC:
+    return QuadPallasEC(modulus, 0, block)

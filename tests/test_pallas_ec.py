@@ -237,3 +237,95 @@ def test_inv_and_affine_msm_match_host():
     )[0]
     want = BN254_G1.msm(ks, pts)
     assert got == want
+
+
+def _g2_planes(ctx, pts):
+    """Host G2 affine points -> ((32, n) x-planes, (32, n) y-planes)."""
+    dev = ctx.points_to_device(pts)
+    n = dev.x.shape[0]
+    return dev.x.reshape(n, 32).T, dev.y.reshape(n, 32).T
+
+
+def test_quad_kernels_match_host():
+    """QuadPallasEC (_F2 fused Fq2 kernels): mul / inv / jadd / affine
+    pair ops vs the host Fq2 + G2 oracles.  Kernel-level (single launches)
+    so interpret mode stays fast; the full G2 AffineMSM correctness gate
+    runs on real TPU in bench_suite.bench_msm_g2."""
+    from crescent_tpu.core import curves
+    from crescent_tpu.core.fields import Fq2
+    from crescent_tpu.ops.ec import get_g2_ctx
+    from crescent_tpu.ops.pallas_ec import QuadPallasEC
+
+    rng = random.Random(23)
+    G2 = curves.BN254G2
+    ctx = get_g2_ctx()
+    f = ctx.fctx
+    pec = QuadPallasEC(f.modulus, 0, block=512)
+
+    # mul KAT (Karatsuba inside one kernel)
+    a = [Fq2(rng.randrange(f.modulus), rng.randrange(f.modulus)) for _ in range(8)]
+    b = [Fq2(rng.randrange(f.modulus), rng.randrange(f.modulus)) for _ in range(8)]
+    am = jnp.asarray(f.to_mont_host(a).reshape(8, 32).T).astype(U32)
+    bm = jnp.asarray(f.to_mont_host(b).reshape(8, 32).T).astype(U32)
+    got = f.from_mont_host(np.asarray(pec.mul(am, bm)).T.reshape(8, 2, 16))
+    assert got == [x * y for x, y in zip(a, b)]
+
+    # inv KAT (norm-map kernel: base Fermat on a^2+b^2)
+    vals = [Fq2(rng.randrange(1, f.modulus), rng.randrange(f.modulus))
+            for _ in range(8)]
+    x = jnp.asarray(f.to_mont_host(vals).reshape(8, 32).T).astype(U32)
+    got = f.from_mont_host(np.asarray(pec.inv(x)).T.reshape(8, 2, 16))
+    assert got == [v.inv() for v in vals]
+
+    # jadd (complete Jacobian add) incl. identity/double/negation cases
+    g = G2.generator()
+    P = [G2.mul(k, g) for k in (1, 5, 9, 7, 1)] + [None]
+    Q = [G2.mul(k, g) for k in (2, 5, 3)] + [G2.neg(G2.mul(7, g)), None, None]
+    Px, Py = _g2_planes(ctx, P)
+    Qx, Qy = _g2_planes(ctx, Q)
+    one = jnp.asarray(f.to_mont_host([f.host_one])[0]).reshape(32, 1)
+    pz = jnp.where(jnp.asarray([p is not None for p in P])[None, :],
+                   jnp.broadcast_to(one, Px.shape), jnp.uint32(0))
+    qz = jnp.where(jnp.asarray([q is not None for q in Q])[None, :],
+                   jnp.broadcast_to(one, Qx.shape), jnp.uint32(0))
+    ox, oy, oz = pec.jadd(Px, Py, pz, Qx, Qy, qz)
+    got = ctx.points_to_host(JPoints(ox.T.reshape(-1, 2, 16),
+                                     oy.T.reshape(-1, 2, 16),
+                                     oz.T.reshape(-1, 2, 16)))
+    want = [G2.add(p, q) for p, q in zip(P, Q)]
+    assert got == want
+
+    # affine pair ops + batch inversion through the Fq2 product tree
+    from crescent_tpu.ops.msm_affine import AffineMSM
+
+    n = 8
+    Lh = [G2.mul(rng.randrange(1, 1 << 20), g) for _ in range(n)]
+    Rh = [G2.mul(rng.randrange(1, 1 << 20), g) for _ in range(n)]
+    Rh[1] = Lh[1]                    # double case
+    Rh[2] = G2.neg(Lh[2])            # infinity case
+    lv = np.ones(n, np.uint32)
+    rv = np.ones(n, np.uint32)
+    rv[3] = 0
+    lv[4] = 0
+    lv[5] = rv[5] = 0
+    lx, ly = _g2_planes(ctx, Lh)
+    rx, ry = _g2_planes(ctx, Rh)
+    lvj, rvj = jnp.asarray(lv), jnp.asarray(rv)
+    amsm = AffineMSM(ctx, pec, c=5, inv_floor=4096)
+    d = pec.affine_denom(lx, ly, lvj, rx, ry, rvj)
+    sx, sy, sv = pec.affine_add(lx, ly, lvj, rx, ry, rvj, amsm._batch_inv(d))
+    sv = np.asarray(sv)
+    got = ctx.points_to_host(JPoints(sx.T.reshape(-1, 2, 16),
+                                     sy.T.reshape(-1, 2, 16),
+                                     jnp.where(jnp.asarray(sv)[None, :] != 0,
+                                               jnp.broadcast_to(one, sx.shape),
+                                               jnp.uint32(0)).T.reshape(-1, 2, 16)))
+    for i in range(n):
+        l = Lh[i] if lv[i] else None
+        r = Rh[i] if rv[i] else None
+        want = G2.add(l, r)
+        if want is None:
+            assert sv[i] == 0, i
+        else:
+            assert sv[i] != 0, i
+            assert got[i] == want, i
