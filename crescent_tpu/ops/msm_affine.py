@@ -235,49 +235,71 @@ class AffineMSM:
         W, B, c = self.W, self.B, self.c
         pec = self.pec
         WB = W * B
+        import os
+
         ev = (pk & 1).astype(U32)
         keys = pk >> 1
-        idx = jnp.where(ev != 0, keys.astype(I32), jnp.int32(WB))
         R = self.rows
-        dx = jnp.zeros((R, WB), U32).at[:, idx].set(ex, mode="drop")
-        dy = jnp.zeros((R, WB), U32).at[:, idx].set(ey, mode="drop")
-        dv = jnp.zeros((1, WB), U32).at[:, idx].set(ev[None, :], mode="drop")[0]
         one = jnp.asarray(
             self.ctx.fctx.to_mont_host([self.ctx.fctx.host_one])[0]
         ).reshape(R).astype(U32)
+        # Fused aggregate measured SLOWER (279k vs 297k pts/s at 2^16): the
+        # per-window sequential grid underutilizes the VPU vs overlapped
+        # wide launches.  Kept opt-in for future re-evaluation (PERF.md).
+        fused = os.environ.get("CRESCENT_MSM_FUSED_AGG", "0") == "1"
+        if fused:
+            # scatter into the lane-padded layout the fused kernel reads
+            # (window stride Bp, columns >= B zero = identity)
+            Bp = pec.bucket_stride(B)
+            kw = keys // B
+            kb = keys - kw * B
+            tgt = (kw * Bp + kb).astype(I32)
+            idx = jnp.where(ev != 0, tgt, jnp.int32(W * Bp))
+            WBp = W * Bp
+        else:
+            idx = jnp.where(ev != 0, keys.astype(I32), jnp.int32(WB))
+            WBp = WB
+        dx = jnp.zeros((R, WBp), U32).at[:, idx].set(ex, mode="drop")
+        dy = jnp.zeros((R, WBp), U32).at[:, idx].set(ey, mode="drop")
+        dv = jnp.zeros((1, WBp), U32).at[:, idx].set(ev[None, :], mode="drop")[0]
         dz = jnp.where(dv[None, :] != 0, one[:, None], jnp.uint32(0))
 
-        # per-window suffix sums: running_b = sum_{b'>=b} S_b' (shift-add)
-        x3 = lambda a: a.reshape(R, W, B)
-        rx_, ry_, rz_ = dx, dy, dz
-        j = 1
-        while j < B:
-            def shift(a):
-                a = x3(a)
-                a = jnp.concatenate(
-                    [a[:, :, j:], jnp.zeros((R, W, j), U32)], axis=2
-                )
-                return a.reshape(R, WB)
-            rx_, ry_, rz_ = pec.jadd(rx_, ry_, rz_, shift(rx_), shift(ry_), shift(rz_))
-            j *= 2
+        if fused:
+            # suffix sums + weight tree fused into ONE launch (grid over
+            # windows, whole reduction in VMEM) — pec.bucket_reduce
+            ax, ay, az = pec.bucket_reduce(dx, dy, dz, W, B)
+        else:
+            # per-window suffix sums: running_b = sum_{b'>=b} S_b' (shift-add)
+            x3 = lambda a: a.reshape(R, W, B)
+            rx_, ry_, rz_ = dx, dy, dz
+            j = 1
+            while j < B:
+                def shift(a):
+                    a = x3(a)
+                    a = jnp.concatenate(
+                        [a[:, :, j:], jnp.zeros((R, W, j), U32)], axis=2
+                    )
+                    return a.reshape(R, WB)
+                rx_, ry_, rz_ = pec.jadd(rx_, ry_, rz_, shift(rx_), shift(ry_), shift(rz_))
+                j *= 2
 
-        # acc_w = sum_{d=1}^{B-1} running_d  (B-1 = 2^(c-1) is a power of two)
-        ax = x3(rx_)[:, :, 1:]
-        ay = x3(ry_)[:, :, 1:]
-        az = x3(rz_)[:, :, 1:]
-        n = B - 1
-        while n > 1:
-            h = n // 2
-            ax, ay, az = pec.jadd(
-                ax[:, :, :h].reshape(R, W * h),
-                ay[:, :, :h].reshape(R, W * h),
-                az[:, :, :h].reshape(R, W * h),
-                ax[:, :, h:].reshape(R, W * h),
-                ay[:, :, h:].reshape(R, W * h),
-                az[:, :, h:].reshape(R, W * h),
-            )
-            ax, ay, az = (a.reshape(R, W, h) for a in (ax, ay, az))
-            n = h
+            # acc_w = sum_{d=1}^{B-1} running_d (B-1 = 2^(c-1), power of two)
+            ax = x3(rx_)[:, :, 1:]
+            ay = x3(ry_)[:, :, 1:]
+            az = x3(rz_)[:, :, 1:]
+            n = B - 1
+            while n > 1:
+                h = n // 2
+                ax, ay, az = pec.jadd(
+                    ax[:, :, :h].reshape(R, W * h),
+                    ay[:, :, :h].reshape(R, W * h),
+                    az[:, :, :h].reshape(R, W * h),
+                    ax[:, :, h:].reshape(R, W * h),
+                    ay[:, :, h:].reshape(R, W * h),
+                    az[:, :, h:].reshape(R, W * h),
+                )
+                ax, ay, az = (a.reshape(R, W, h) for a in (ax, ay, az))
+                n = h
 
         # window combine: result = sum_w acc_w * 2^(c*w) by a doubling tree:
         # level j pairs (2t, 2t+1) with the odd half doubled c*2^j times

@@ -568,6 +568,56 @@ class PallasEC:
         ox[:], oy[:] = x, y
         ov[:] = jnp.broadcast_to(v.astype(U32), (1, x.shape[1]))
 
+    def _bucket_reduce_kernel(self, B, ow, consts, mninv, mn, x, y, z, ox, oy, oz):
+        """Per-window Pippenger bucket reduction ENTIRELY in VMEM (one grid
+        step per window; one launch for the whole table): suffix sums
+        running_b = sum_{b'>=b} S_b' as log2(B-1) shift-adds, then the
+        weighted total sum_{b>=1} b*S_b = sum_{d>=1} running_d as a halving
+        add tree.  Replaces ~20 separate jadd launches over the dense
+        (R, W*B) table whose intermediates each round-tripped HBM.
+        x/y/z: (R, Bp) block, columns >= B are zero pad (= identity, Z==0);
+        result lands in column 0 of the (R, ow) output block."""
+        f, a_mont = self._field(consts, mninv, mn)
+        X, Y, Z = x[:], y[:], z[:]
+        R, Bp = X.shape
+        lane = jax.lax.broadcasted_iota(jnp.int32, (R, Bp), 1)
+
+        # All shifts/extractions are lane ROTATES + iota masks, never
+        # offset slices: Mosaic propagates a misaligned slice's lane
+        # offset into the field ops and then refuses the sublane concats
+        # inside mont_mul ("offset mismatch on non-concat dimension");
+        # tpu.dynamic_rotate materializes offset-0 values.
+        def lshift(v, j):
+            return jnp.where(lane < Bp - j, jnp.roll(v, -j, axis=1), U32(0))
+
+        j = 1
+        while j < B:
+            X, Y, Z = _jadd_body(
+                f, a_mont, self.a_is_zero, X, Y, Z,
+                lshift(X, j), lshift(Y, j), lshift(Z, j),
+            )
+            j *= 2
+        # weight tree over running_1..running_{B-1}: drop column 0, then
+        # repeatedly add the rotated-down upper half onto the lower half
+        # (columns >= n are garbage but masked off by construction: every
+        # level only reads columns < n of the previous level)
+        ax, ay, az = lshift(X, 1), lshift(Y, 1), lshift(Z, 1)
+        n = B - 1
+        while n > 1:
+            h = n // 2
+            ax, ay, az = _jadd_body(
+                f, a_mont, self.a_is_zero,
+                ax, ay, az,
+                jnp.roll(ax, -h, axis=1),
+                jnp.roll(ay, -h, axis=1),
+                jnp.roll(az, -h, axis=1),
+            )
+            n = h
+        keep = lane < 1
+        ox[:] = jnp.where(keep, ax, U32(0))[:, :ow]
+        oy[:] = jnp.where(keep, ay, U32(0))[:, :ow]
+        oz[:] = jnp.where(keep, az, U32(0))[:, :ow]
+
     def _get_call(self, kind, kernel, n_elem, n_in, flag_rows=0, out_rows=None):
         if out_rows is None:
             out_rows = (self.ROWS,) * 3
@@ -726,6 +776,43 @@ class PallasEC:
         )
         ox, oy, ov = call(self.consts, self.m_ninv, self.m_n, lx, ly, rx, ry, inv, flags)
         return ox[:, :n], oy[:, :n], ov[0, :n]
+
+    @staticmethod
+    def bucket_stride(B: int) -> int:
+        """Lane-padded per-window stride: Pallas TPU block widths must be
+        multiples of 128."""
+        return -(-B // 128) * 128
+
+    def bucket_reduce(self, x, y, z, W: int, B: int):
+        """Dense (R, W*Bp) Jacobian bucket tables (Bp = bucket_stride(B);
+        window w occupies columns w*Bp .. w*Bp+B, rest zero) -> (R, W)
+        per-window weighted sums (sum_{b>=1} b * S_{w,b}), ONE kernel
+        launch gridded over windows.  Requires B - 1 a power of two."""
+        import functools as _ft
+
+        assert (B - 1) & (B - 2) == 0, B
+        R = self.ROWS
+        Bp = self.bucket_stride(B)
+        ow = 128  # output block width (result in column 0 of each block)
+        key = ("bred", W, B)
+        if key not in self._calls:
+            eb = pl.BlockSpec((R, Bp), lambda i: (0, i))
+            ob = pl.BlockSpec((R, ow), lambda i: (0, i))
+            self._calls[key] = pl.pallas_call(
+                _ft.partial(self._bucket_reduce_kernel, B, ow),
+                grid=(W,),
+                in_specs=[
+                    pl.BlockSpec((L, 4), lambda i: (0, 0)),
+                    pl.BlockSpec((32, 32), lambda i: (0, 0)),
+                    pl.BlockSpec((32, 64), lambda i: (0, 0)),
+                    eb, eb, eb,
+                ],
+                out_specs=[ob, ob, ob],
+                out_shape=[jax.ShapeDtypeStruct((R, W * ow), U32)] * 3,
+                interpret=_use_interpret(),
+            )
+        ax, ay, az = self._calls[key](self.consts, self.m_ninv, self.m_n, x, y, z)
+        return ax[:, ::ow], ay[:, ::ow], az[:, ::ow]
 
 
 @functools.lru_cache(maxsize=None)

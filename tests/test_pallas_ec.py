@@ -329,3 +329,46 @@ def test_quad_kernels_match_host():
         else:
             assert sv[i] != 0, i
             assert got[i] == want, i
+
+
+def test_bucket_reduce_matches_host():
+    """Fused per-window bucket reduction (suffix sums + weight tree in ONE
+    pallas launch) vs host weighted bucket sums, padded-lane layout."""
+    rng = random.Random(3)
+    ctx = get_curve_ctx(BN254_G1)
+    pec = _pec(ctx)
+    W, B = 2, 5
+    Bp = pec.bucket_stride(B)
+    g = BN254_G1.generator
+    pts = {}
+    cols = []
+    for w in range(W):
+        for b in range(B):
+            pts[(w, b)] = (
+                BN254_G1.mul(rng.randrange(1, BN254_G1.n), g)
+                if b and rng.random() < 0.7 else None
+            )
+            cols.append(pts[(w, b)])
+    dev = ctx.points_to_device(cols)
+    dx = np.zeros((16, W * Bp), np.uint32)
+    dy = np.zeros((16, W * Bp), np.uint32)
+    dz = np.zeros((16, W * Bp), np.uint32)
+    xT = np.asarray(dev.x).T
+    yT = np.asarray(dev.y).T
+    zT = np.asarray(dev.z).T
+    for w in range(W):
+        for b in range(B):
+            j = w * B + b
+            dx[:, w * Bp + b] = xT[:, j]
+            dy[:, w * Bp + b] = yT[:, j]
+            dz[:, w * Bp + b] = zT[:, j]
+    ax, ay, az = pec.bucket_reduce(
+        jnp.asarray(dx), jnp.asarray(dy), jnp.asarray(dz), W, B
+    )
+    got = ctx.points_to_host(JPoints(ax.T, ay.T, az.T))
+    for w in range(W):
+        want = None
+        for b in range(1, B):
+            if pts[(w, b)] is not None:
+                want = BN254_G1.add(want, BN254_G1.mul(b, pts[(w, b)]))
+        assert got[w] == want, w
