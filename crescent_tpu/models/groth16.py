@@ -576,12 +576,20 @@ def prove(
     s = rng.randrange(R) if s is None else s
     dom = _domain_for(r1cs)
     shard = _sharded_prove()
+    # Sharded-prove first-compiles must not PERSIST to the compilation
+    # cache: serializing the multi-device executables reproducibly
+    # segfaults jaxlib's put_executable path (utils/compile_cache.py).
+    # Reads stay enabled, so warm entries still load.
+    from ..utils.compile_cache import no_cache_writes
+    from contextlib import nullcontext
+
+    guard = no_cache_writes if shard is not None else nullcontext
     if shard is not None and dom.n >= 4 * len(jax.devices()) ** 2:
         # multi-chip h(x): every length-N transform through the four-step
         # sharded NTT (one all_to_all each) instead of replicated NTTs
         with timed("prove::matvec Az/Bz/Cz"):
             a, b, c = _matvec_evals(r1cs, z, dom)
-        with timed(f"prove::NTT h(x) sharded (domain 2^{dom.n.bit_length() - 1})"):
+        with timed(f"prove::NTT h(x) sharded (domain 2^{dom.n.bit_length() - 1})"), guard():
             pipe = _sharded_h_pipeline(dom)
             h_full = pipe.compute_h(a, b, c)
             assert h_full[-1] == 0, "h degree bound violated (unsatisfied R1CS?)"
@@ -592,7 +600,7 @@ def prove(
     if shard is not None:
         smsm_g1, smsm_g2 = shard
         zr = [x % R for x in z]
-        with timed(f"prove::MSMs sharded x{smsm_g1.mesh.devices.size} ({r1cs.num_vars} vars)"):
+        with timed(f"prove::MSMs sharded x{smsm_g1.mesh.devices.size} ({r1cs.num_vars} vars)"), guard():
             az = smsm_g1.run_host(zr, pk.a_query)
             bz1 = smsm_g1.run_host(zr, pk.b_g1_query)
             hq = smsm_g1.run_host(h, pk.h_query)
