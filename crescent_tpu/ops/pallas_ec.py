@@ -528,15 +528,19 @@ class PallasEC:
         """Batched Fermat inversion x^(N-2) with an in-kernel fori_loop over
         the exponent bits (MSB first; one launch, ~512 in-VMEM muls/lane)."""
         f, _ = self._field(consts, mninv, mn)
-        xx = x[:]
-        one = jnp.broadcast_to(f.one_mont, xx.shape)
+        o[:] = self._inv_core(f, ebits, x[:])
+
+    def _inv_core(self, f, ebits, v):
+        """In-kernel batched inversion of (ROWS, w) nonzero values; base
+        field = 256-bit Fermat loop (overridden for Fq2's norm map)."""
+        one = jnp.broadcast_to(f.one_mont, v.shape)
 
         def body(i, acc):
             acc = f.sqr(acc)
-            mul = f.mont_mul(acc, xx)
+            mul = f.mont_mul(acc, v)
             return jnp.where(ebits[i] != 0, mul, acc)
 
-        o[:] = jax.lax.fori_loop(0, 256, body, one)
+        return jax.lax.fori_loop(0, 256, body, one)
 
     def _dbl_kernel(self, consts, mninv, mn, x1, y1, z1, ox, oy, oz):
         f, a_mont = self._field(consts, mninv, mn)
@@ -851,11 +855,11 @@ class QuadPallasEC(PallasEC):
         one0 = jnp.roll(cc, -2, axis=1)[:, 0:1]  # offset-0 copy of mont 1
         return _F2(base, one0), None
 
-    def _inv_kernel(self, consts, mninv, mn, ebits, x, o):
-        """Batched Fq2 inversion via the norm map (one launch)."""
-        base, _ = PallasEC._field(self, consts, mninv, mn)
-        xx = x[:]
-        x0, x1 = xx[:L], xx[L:]
+    def _inv_core(self, f2, ebits, v):
+        """Batched Fq2 inversion via the norm map: 1/(a+bu) =
+        (a - bu) / (a^2 + b^2), one base-field Fermat loop."""
+        base = f2.b
+        x0, x1 = v[:L], v[L:]
         nrm = base.add(base.sqr(x0), base.sqr(x1))
         one = jnp.broadcast_to(base.one_mont, nrm.shape)
 
@@ -865,7 +869,7 @@ class QuadPallasEC(PallasEC):
             return jnp.where(ebits[i] != 0, mul, acc)
 
         ninv = jax.lax.fori_loop(0, 256, body, one)
-        o[:] = jnp.concatenate(
+        return jnp.concatenate(
             [
                 base.mont_mul(x0, ninv),
                 base.mont_mul(base.neg(x1), ninv),
