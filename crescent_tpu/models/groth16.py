@@ -576,14 +576,16 @@ def prove(
     s = rng.randrange(R) if s is None else s
     dom = _domain_for(r1cs)
     shard = _sharded_prove()
-    # Sharded-prove first-compiles must not PERSIST to the compilation
-    # cache: serializing the multi-device executables reproducibly
-    # segfaults jaxlib's put_executable path (utils/compile_cache.py).
-    # Reads stay enabled, so warm entries still load.
-    from ..utils.compile_cache import no_cache_writes
+    # Sharded-prove compiles bypass the persistent compilation cache
+    # entirely: jaxlib reproducibly segfaults BOTH serializing
+    # (put_executable) and deserializing (get_executable, in a
+    # long-lived high-RSS process) these multi-device executables
+    # (utils/compile_cache.py).  Fresh compiles of the sharded programs
+    # are minutes, not tens of minutes — correctness over cache warmth.
+    from ..utils.compile_cache import no_compile_cache
     from contextlib import nullcontext
 
-    guard = no_cache_writes if shard is not None else nullcontext
+    guard = no_compile_cache if shard is not None else nullcontext
     if shard is not None and dom.n >= 4 * len(jax.devices()) ** 2:
         # multi-chip h(x): every length-N transform through the four-step
         # sharded NTT (one all_to_all each) instead of replicated NTTs
