@@ -68,6 +68,14 @@ try:
 except Exception:  # cache is best-effort; never block math on it
     pass
 
+# Multi-device executables must NEVER touch the persistent cache: jaxlib
+# reproducibly segfaults both serializing and deserializing them (see
+# utils/compile_cache.py for the full history).  Installed process-wide
+# here, before any compile can happen.
+from .utils.compile_cache import install_multidevice_cache_bypass as _imcb
+
+_imcb()
+
 
 def use_cpu_cache_dir() -> None:
     """Switch the persistent compile cache to the machine-tagged CPU dir.

@@ -84,12 +84,16 @@ def bench_msm_g2(log_n: int = 12) -> dict:
 
     from .core.curves import BN254G2
     from .ops import limb
-    from .ops.msm import get_g2_msm
+    from .ops.ec import get_g2_ctx
+    from .ops.msm import MSM
     from .ops.limb import U32
 
     n = 1 << log_n
     rng = random.Random(43)
-    m = get_g2_msm()
+    # small_cutoff=0 so the oracle-gate subset below exercises the SAME
+    # path being timed (the QuadPallasEC AffineMSM route), not the
+    # double-and-add small path (ADVICE r4: ng=128 < default cutoff 1024).
+    m = MSM(get_g2_ctx(), lanes=64, small_cutoff=0)
     base = BN254G2.generator()
     pts = [BN254G2.mul(rng.randrange(1, 1 << 20), base) for _ in range(n)]
     P = m.ctx.points_to_device(pts)
@@ -109,6 +113,10 @@ def bench_msm_g2(log_n: int = 12) -> dict:
     ks = limb.limbs_to_ints(np.asarray(scs[0][:ng]))
     want = BN254G2.msm(ks, pts[:ng])
     ok = got == want
+    if not ok:
+        raise AssertionError(
+            f"G2 MSM oracle mismatch on the device affine path: {got} != {want}"
+        )
     return {
         "metric": "bn254_g2_msm_points_per_sec",
         "value": round(n / dt, 1),

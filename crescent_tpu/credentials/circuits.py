@@ -231,5 +231,8 @@ class JWTFrontend(CircuitFrontend):
                 digest = hashlib.sha256(pre.encode()).digest()
                 pi[f"{name}_digest"] = bits_to_num(digest[:31])
         cs = self._build(config, pi)
-        assert cs.is_satisfied(), "JWT circuit unsatisfied"
+        # NOTE: no internal is_satisfied here — api.create_client_state
+        # checks satisfaction on the returned R1CS (native COO path), and
+        # the redundant check cost ~11 s at rs256@2048 because each
+        # cs.is_satisfied() builds a throwaway R1CS + COO cache.
         return cs.to_r1cs(), cs.assignment(), cs.io_locations()

@@ -528,7 +528,9 @@ class _MDLIOBase(CircuitFrontend):
             if entry.get("reveal_digest", False) and f"{name}_digest" not in pi and name in pi:
                 pi[f"{name}_digest"] = mdl_attribute_digest(pi[name])
         cs = self._build(config, pi)
-        assert cs.is_satisfied(), "mDL circuit unsatisfied"
+        # satisfaction is checked by api.create_client_state on the returned
+        # R1CS (native COO path) — an internal check here would rebuild the
+        # COO cache on a throwaway R1CS (round-5 perf cleanup)
         return cs.to_r1cs(), cs.assignment(), cs.io_locations()
 
     def setup(self, config: dict):

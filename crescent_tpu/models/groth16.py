@@ -135,6 +135,17 @@ class R1CS:
 
     def is_satisfied(self, z: list[int]) -> bool:
         F = self.field
+        nc = len(self.constraints)
+        if _native_ok() and nc > 512:
+            # native path: 3 COO matvecs + one elementwise a*b-c check.
+            # The pure-Python loop below was ~10 s of the rs256@2048 prove.
+            zu = nb.ints_to_u64([x % F for x in z])
+            evs = [
+                nb.coo_matvec(F, rows, cols, coeffs, zu, nc)
+                for rows, cols, coeffs in _r1cs_coo(self)
+            ]
+            ab = nb.vec_op(F, "mul", evs[0], evs[1])
+            return not nb.vec_op(F, "sub", ab, evs[2]).any()
         for a_row, b_row, c_row in self.constraints:
             a = sum(c * z[i] for i, c in a_row) % F
             b = sum(c * z[i] for i, c in b_row) % F
@@ -238,6 +249,14 @@ class ProvingKey:
             self._dev[name] = (P.x, P.y, valid)
         return self._dev[name]
 
+    def native_g2_table(self) -> "np.ndarray":
+        """Cache the (n,16) u64 layout of b_g2_query for the native G2 MSM
+        (the per-prove conversion was ~350 MB of bigint->bytes churn)."""
+        key = "b_g2_query:u64"
+        if key not in self._dev:
+            self._dev[key] = nb.g2_to_u64(self.b_g2_query)
+        return self._dev[key]
+
 
 @dataclass
 class Proof:
@@ -293,20 +312,36 @@ def _r1cs_coo(r1cs: R1CS):
     structure."""
     coo = getattr(r1cs, "_coo_cache", None)
     if coo is None:
+        from array import array
+
         F = r1cs.field
+        # memoized coefficient bytes: R1CS coefficients repeat heavily
+        # (1, F-1, powers of two from bit recompositions, SHA constants),
+        # so a dict lookup replaces most of the 9.8M to_bytes calls the
+        # old per-term list-append build paid (~8 s at rs256@2048)
+        cbytes: dict[int, bytes] = {}
         coo = []
         for k in range(3):
-            rows, cols, coeffs = [], [], []
+            rows = array("I")
+            cols = array("I")
+            buf = bytearray()
             for j, cons in enumerate(r1cs.constraints):
-                for i, co in cons[k]:
-                    rows.append(j)
+                row = cons[k]
+                if not row:
+                    continue
+                rows.extend([j] * len(row))
+                for i, co in row:
                     cols.append(i)
-                    coeffs.append(co % F)
+                    b = cbytes.get(co)
+                    if b is None:
+                        b = (co % F).to_bytes(32, "little")
+                        cbytes[co] = b
+                    buf += b
             coo.append(
                 (
-                    np.asarray(rows, dtype=np.uint32),
-                    np.asarray(cols, dtype=np.uint32),
-                    nb.ints_to_u64(coeffs),
+                    np.frombuffer(rows, dtype=np.uint32),
+                    np.frombuffer(cols, dtype=np.uint32),
+                    np.frombuffer(bytes(buf), dtype="<u8").reshape(-1, 4),
                 )
             )
         r1cs._coo_cache = coo
@@ -519,6 +554,39 @@ def _h_pipeline(dom: ntt.NTTDomain):
     return _H_PIPE_CACHE[key]
 
 
+def _matvec_evals_u64(r1cs: R1CS, zu: "np.ndarray", dom: ntt.NTTDomain):
+    """Native-backend Az/Bz/Cz as (dom.n, 4) u64 arrays, identity rows
+    included — no Python-int materialization (round-5 data-path cleanup:
+    the ints round-trip cost ~10 s at rs256@2048)."""
+    nc = len(r1cs.constraints)
+    outs = [
+        nb.coo_matvec(R, rows, cols, coeffs, zu, dom.n)
+        for rows, cols, coeffs in _r1cs_coo(r1cs)
+    ]
+    outs[0][nc : nc + r1cs.num_instance] = zu[: r1cs.num_instance]
+    return outs
+
+
+def _compute_h_device(r1cs: R1CS, zu: "np.ndarray", dom: ntt.NTTDomain):
+    """TPU fused h(x): native u64 matvec -> u16 limb view -> one-jit NTT
+    pipeline.  Returns the FULL-length (dom.n, 16) device u16 standard-form
+    h array (callers slice [: dom.n - 1]); never materializes Python ints."""
+    with timed("prove::matvec Az/Bz/Cz"):
+        a, b, c = _matvec_evals_u64(r1cs, zu, dom)
+    with timed(f"prove::NTT h(x) (domain 2^{dom.n.bit_length() - 1})"):
+        run, tables = _h_pipeline(dom)
+        h16 = run(
+            limb.upload_limbs(limb.u64_to_limbs(a)),
+            limb.upload_limbs(limb.u64_to_limbs(b)),
+            limb.upload_limbs(limb.u64_to_limbs(c)),
+            *tables,
+        )
+        assert not np.asarray(jax.device_get(h16[-1])).any(), (
+            "h degree bound violated (unsatisfied R1CS?)"
+        )
+    return h16
+
+
 def _compute_h(r1cs: R1CS, z: list[int], dom: ntt.NTTDomain) -> list[int]:
     """h(x) = (A(x)B(x) - C(x)) / Z(x) via coset NTTs on TPU."""
     ctx = dom.ctx
@@ -579,13 +647,29 @@ def prove(
     # Sharded-prove compiles bypass the persistent compilation cache
     # entirely: jaxlib reproducibly segfaults BOTH serializing
     # (put_executable) and deserializing (get_executable, in a
-    # long-lived high-RSS process) these multi-device executables
-    # (utils/compile_cache.py).  Fresh compiles of the sharded programs
-    # are minutes, not tens of minutes — correctness over cache warmth.
-    from ..utils.compile_cache import no_compile_cache
+    # long-lived high-RSS process) multi-device executables.  The
+    # process-wide bypass installed at package import handles this for
+    # every multi-device compile; the scoped guard is the fallback if
+    # the jax-internals patch could not install (utils/compile_cache.py).
+    from ..utils import compile_cache as _ccache
     from contextlib import nullcontext
 
-    guard = no_compile_cache if shard is not None else nullcontext
+    guard = (
+        nullcontext
+        if shard is None or _ccache.MULTIDEVICE_BYPASS_INSTALLED
+        else _ccache.no_compile_cache
+    )
+    # Device-fused data path (TPU + native backend): witness/matvec/h stay in
+    # u64/u16 array form end-to-end — no Python-int round-trips between the
+    # native matvec, the h pipeline and the MSM fold (round-5 perf item 2).
+    use_dev_h = (
+        shard is None
+        and not _native_msm_prove()
+        and _native_ok()
+        and jax.default_backend() == "tpu"
+        and os.environ.get("CRESCENT_PROVE_FUSED", "1") == "1"
+    )
+    zu = h16 = h = None
     if shard is not None and dom.n >= 4 * len(jax.devices()) ** 2:
         # multi-chip h(x): every length-N transform through the four-step
         # sharded NTT (one all_to_all each) instead of replicated NTTs
@@ -596,6 +680,9 @@ def prove(
             h_full = pipe.compute_h(a, b, c)
             assert h_full[-1] == 0, "h degree bound violated (unsatisfied R1CS?)"
             h = h_full[:-1]
+    elif use_dev_h:
+        zu = nb.ints_to_u64([x % R for x in z])
+        h16 = _compute_h_device(r1cs, zu, dom)
     else:
         h = _compute_h(r1cs, z, dom)
 
@@ -633,15 +720,22 @@ def prove(
                 # ONE compiled chunk-scan program for all 4 G1 MSMs: the
                 # z-scalar plane uploads once and is shared by the a/b1/l
                 # problems (l is a device slice)
-                zsc = limb.upload_limbs(
-                    limb.ints_to_limbs([x % R for x in z])
-                )
-                hsc = limb.upload_limbs(limb.ints_to_limbs(h))
+                if h16 is not None:
+                    # u64 witness plane + on-device h: zero int round-trips
+                    zsc = limb.upload_limbs(limb.u64_to_limbs(zu))
+                    nh = dom.n - 1
+                    hsc = h16[:nh].astype(U32)
+                else:
+                    zsc = limb.upload_limbs(
+                        limb.ints_to_limbs([x % R for x in z])
+                    )
+                    hsc = limb.upload_limbs(limb.ints_to_limbs(h))
+                    nh = len(h)
                 ta = pk.device_table("a_query", msm_g1)
                 tb = pk.device_table("b_g1_query", msm_g1)
                 th = pk.device_table("h_query", msm_g1)
                 tl = pk.device_table("l_query", msm_g1)
-                nh, ni = len(h), r1cs.num_instance
+                ni = r1cs.num_instance
                 fold_res = msm_g1.run_device_fold(
                     [
                         (*ta, zsc),
@@ -650,6 +744,19 @@ def prove(
                         (*tl, zsc[ni:]),
                     ]
                 )
+            if fold_res is None and h is None and h16 is not None:
+                # rare fallback (affine path unavailable): materialize ints
+                h = limb.limbs_to_ints(np.asarray(jax.device_get(h16)))[:-1]
+            bz2 = None
+            if fold_res is not None and _native_ok():
+                # overlap: the G1 fold is dispatched but not yet fetched —
+                # run the host-backend G2 MSM while the TPU works, so its
+                # ~3.5 s disappears behind the fold (round-5 perf item 2)
+                with timed("prove::MSM G2 (overlapped)"):
+                    if zu is not None:
+                        bz2 = nb.msm_g2_raw(zu, pk.native_g2_table())
+                    else:
+                        bz2 = nb.msm_g2([x % R for x in z], pk.b_g2_query)
             if fold_res is not None:
                 az, bz1, hq, lw = msm_g1.ctx.points_to_host(
                     JPoints(
@@ -669,18 +776,22 @@ def prove(
                     ]
                 )
                 az, bz1, hq, lw = msm_g1.ctx.points_to_host(res4)
-        with timed("prove::MSM G2"):
-            if _native_ok():
-                # the G2 MSM runs on the host backend even when G1 is on
-                # device: the Fq2 scan path is the slow executor and the
-                # reference keeps G2 on CPU too (prover.rs rayon)
-                bz2 = nb.msm_g2([x % R for x in z], pk.b_g2_query)
-            else:
-                pg2 = _msm_problem(pk, "b_g2_query", z, msm_g2)
-                res2 = msm_g2.run_device(*pg2)
-                bz2 = msm_g2.ctx.points_to_host(
-                    JPoints(res2.x[None], res2.y[None], res2.z[None])
-                )[0]
+        if bz2 is None:
+            with timed("prove::MSM G2"):
+                if _native_ok():
+                    # the G2 MSM runs on the host backend even when G1 is on
+                    # device: the Fq2 scan path is the slow executor and the
+                    # reference keeps G2 on CPU too (prover.rs rayon)
+                    if zu is not None:
+                        bz2 = nb.msm_g2_raw(zu, pk.native_g2_table())
+                    else:
+                        bz2 = nb.msm_g2([x % R for x in z], pk.b_g2_query)
+                else:
+                    pg2 = _msm_problem(pk, "b_g2_query", z, msm_g2)
+                    res2 = msm_g2.run_device(*pg2)
+                    bz2 = msm_g2.ctx.points_to_host(
+                        JPoints(res2.x[None], res2.y[None], res2.z[None])
+                    )[0]
 
     vk = pk.vk
     # A = alpha + sum z_i A_i(t) + r*delta

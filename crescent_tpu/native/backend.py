@@ -225,14 +225,23 @@ def fixed_base_g2(base, scalars) -> list:
 
 
 def msm_g2(scalars, points):
+    if len(scalars) == 0:
+        return None
+    return msm_g2_raw(ints_to_u64(scalars), g2_to_u64(points))
+
+
+def msm_g2_raw(sc_u64: np.ndarray, pt_u64: np.ndarray):
+    """G2 MSM on pre-converted arrays ((n,4) scalars / (n,16) points u64 LE).
+
+    Callers that hold a cached point table (ProvingKey.native_g2_table) and
+    an already-converted scalar plane skip ~350 MB of per-prove Python
+    bigint -> bytes churn (round-5 prove data-path cleanup)."""
     lib = _lib()
-    n = len(scalars)
+    n = sc_u64.shape[0]
     if n == 0:
         return None
-    sc = ints_to_u64(scalars)
-    pt = g2_to_u64(points)
     out = np.zeros((1, 16), dtype="<u8")
-    rc = lib.cn_msm_g2(_ptr(pt), _ptr(sc), n, _ptr(out), _nthreads())
+    rc = lib.cn_msm_g2(_ptr(pt_u64), _ptr(sc_u64), n, _ptr(out), _nthreads())
     assert rc == 0
     return u64_to_g2(out)[0]
 

@@ -67,6 +67,25 @@ def ints_to_limbs(xs, nlimb: int = NLIMB) -> np.ndarray:
     a = np.frombuffer(buf, dtype="<u2").reshape(len(xs), nlimb)
     return a.astype(np.uint32)
 
+def u64_to_limbs(a: np.ndarray) -> np.ndarray:
+    """(n, 4) little-endian uint64 words (native backend layout) ->
+    (n, 16) uint16-valued limb planes.  Pure byte reinterpretation: 4 LE
+    u64 words ARE 16 LE u16 limbs — no bigint round-trip (the round-4
+    prove path bounced native matvec output through millions of Python
+    ints just to re-split them into these limbs)."""
+    a = np.ascontiguousarray(a, dtype="<u8")
+    return a.view("<u2").reshape(a.shape[0], 4 * a.shape[1])
+
+
+def limbs_to_u64(a: np.ndarray) -> np.ndarray:
+    """(n, 16) sub-2^16 limb planes -> (n, 4) LE uint64 words (native
+    backend layout).  Inverse of u64_to_limbs."""
+    a = np.asarray(a)
+    assert not (a >> LIMB_BITS).any(), "limbs_to_u64: limbs must be < 2^16"
+    a16 = np.ascontiguousarray(a.astype("<u2"))
+    return a16.view("<u8").reshape(a.shape[0], a.shape[1] // 4)
+
+
 def upload_limbs(a: np.ndarray) -> jax.Array:
     """Upload 16-bit limb planes at half the wire cost: the u32 arrays only
     carry sub-2^16 values, so ship u16 and widen on device (an eager cast,

@@ -286,7 +286,10 @@ def _accumulate_buckets_pallas(
 def _msm_impl(ctx: CurveCtx, px, py, pvalid, digits, signs, c: int, lanes: int) -> JPoints:
     """Core Pippenger given precomputed signed digits. All args device arrays."""
     pec = _pallas_for(ctx)
-    if pec is not None:
+    # The fused accumulate's reshapes assume base-field (ROWS == NLIMB)
+    # point planes; the quad (Fq2/G2) pec only powers the AffineMSM route,
+    # so G2 scan-path calls fall through to the XLA accumulator (ADVICE r4).
+    if pec is not None and getattr(pec, "ROWS", None) == NLIMB:
         wb = _accumulate_buckets_pallas(ctx, pec, px, py, pvalid, digits, signs, c, lanes)
     else:
         wb = _accumulate_buckets(ctx, px, py, pvalid, digits, signs, c, lanes)

@@ -73,7 +73,17 @@ class LC:
 
 
 class ConstraintSystem:
-    """Builder + witness calculator in one pass."""
+    """Builder + witness calculator in one pass.
+
+    Witness-replay hints: gadget-level value computations that cannot be
+    re-derived by constraint-directed solving (bit decompositions, modular
+    inverses, bigint quotients, one-hot indicators, ...) are recorded in
+    ``self.hints`` as ``(pos, kind, payload)`` where ``pos`` is the number
+    of constraints emitted when the hint was recorded (the witness program
+    executes a hint before the constraint at index ``pos``).  Together with
+    ``mark_input``, this lets r1cs/witness_program.py compile the finished
+    system into a replayable witness program so repeat proves skip Python
+    gadget execution entirely (round-5 perf item 2b)."""
 
     def __init__(self, field: int = R):
         self.F = field
@@ -83,6 +93,8 @@ class ConstraintSystem:
         self.n_pub_in = 0
         self._frozen_publics = False
         self.io_names: dict[str, int] = {}  # name -> wire position (IOLocations)
+        self.hints: list = []               # (pos, kind, payload...)
+        self.input_wires: list = []         # (name, [wire idx, ...])
 
     # -- allocation ---------------------------------------------------------
     def alloc(self, value: int) -> Var:

@@ -1,0 +1,135 @@
+"""The multi-device persistent-cache bypass (utils/compile_cache.py).
+
+Round 4's suite segfaulted in jaxlib's cache read path deserializing a
+multi-device executable (VERDICT r4 Weak #1); the fix must hold process-wide
+without per-call-site guards.  These tests run on the 8-virtual-device CPU
+mesh from conftest.py and use a throwaway cache dir so they can assert on
+the exact set of entries written.
+"""
+
+import contextlib
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from crescent_tpu.utils import compile_cache as cc_mod
+
+
+@contextlib.contextmanager
+def _temp_cache(tmp_path):
+    """Point the persistent cache at tmp_path with eager persistence."""
+    from jax._src import compilation_cache as jcc
+
+    old_dir = jax.config.jax_compilation_cache_dir
+    old_min_t = jax.config.jax_persistent_cache_min_compile_time_secs
+    old_min_b = jax.config.jax_persistent_cache_min_entry_size_bytes
+    try:
+        jax.config.update("jax_compilation_cache_dir", str(tmp_path))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        jcc.reset_cache()
+        yield
+    finally:
+        jax.config.update("jax_compilation_cache_dir", old_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", old_min_t)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", old_min_b)
+        jcc.reset_cache()
+
+
+def _entries(tmp_path):
+    return sorted(
+        f for f in os.listdir(tmp_path) if not f.startswith(".")
+    )
+
+
+def test_bypass_installed():
+    from jax._src import compiler
+
+    assert cc_mod.MULTIDEVICE_BYPASS_INSTALLED
+    assert getattr(
+        compiler.compile_or_get_cached, "_crescent_multidevice_bypass", False
+    )
+
+
+def test_single_device_compiles_still_persist(tmp_path):
+    with _temp_cache(tmp_path):
+
+        @jax.jit
+        def f(x):
+            return jnp.sin(x) * 3.0 + jnp.float32(len(_entries(tmp_path)))
+
+        f(jnp.arange(8.0)).block_until_ready()
+    assert _entries(tmp_path), "single-device executable was not persisted"
+
+
+def test_multi_device_compiles_never_touch_cache(tmp_path):
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devs = jax.devices()
+    assert len(devs) >= 8, "conftest should force an 8-device CPU mesh"
+    mesh = Mesh(np.array(devs[:8]), ("d",))
+    sh = NamedSharding(mesh, P("d"))
+
+    with _temp_cache(tmp_path):
+        x = jax.device_put(jnp.arange(64.0), sh)
+
+        @jax.jit
+        def crescent_sharded_probe(v):
+            return jax.lax.with_sharding_constraint(v * 2.0 + 1.0, sh)
+
+        crescent_sharded_probe(x).block_until_ready()
+        # device_put spawns small SINGLE-device helper programs
+        # (_multi_slice/iota) that legitimately persist; the 8-device
+        # program itself must not.
+        bad = [e for e in _entries(tmp_path) if "crescent_sharded_probe" in e]
+        assert bad == [], f"multi-device executable reached the cache: {bad}"
+
+
+def test_no_compile_cache_is_effective_after_latch(tmp_path):
+    """The scoped guard must stop writes even when the cache singleton was
+    already initialized and latched by a prior compile (ADVICE r4, high)."""
+    with _temp_cache(tmp_path):
+        # latch: one cached single-device compile
+        jax.jit(lambda x: x + 17.0)(jnp.arange(4.0)).block_until_ready()
+        before = _entries(tmp_path)
+        assert before, "precondition: latch compile should persist"
+
+        with cc_mod.no_compile_cache():
+            jax.jit(lambda x: x * 19.0 - 2.0)(jnp.arange(4.0)).block_until_ready()
+        assert _entries(tmp_path) == before, "guarded compile wrote to the cache"
+
+        # cache works again after the guard exits
+        jax.jit(lambda x: x / 23.0 + 5.0)(jnp.arange(4.0)).block_until_ready()
+        assert len(_entries(tmp_path)) > len(before)
+
+
+def test_msm_impl_quad_scan_fallback(monkeypatch):
+    """With the pallas pec enabled but the affine route off, a G2 MSM must
+    take the XLA scan accumulator, not the NLIMB-hardcoded pallas
+    accumulator (ADVICE r4, medium: previously a reshape shape-error)."""
+    import random
+
+    from crescent_tpu.core.curves import BN254G2
+    from crescent_tpu.ops import limb
+    from crescent_tpu.ops import msm as msm_mod
+    from crescent_tpu.ops.ec import get_g2_ctx
+    from crescent_tpu.ops.limb import U32
+
+    monkeypatch.setattr(msm_mod, "USE_PALLAS", True)
+    monkeypatch.setenv("CRESCENT_MSM_AFFINE", "0")
+
+    n = 32
+    rng = random.Random(7)
+    m = msm_mod.MSM(get_g2_ctx(), lanes=8, small_cutoff=0)
+    base = BN254G2.generator()
+    pts = [BN254G2.mul(rng.randrange(1, 1 << 16), base) for _ in range(n)]
+    P = m.ctx.points_to_device(pts)
+    valid = jnp.ones(n, dtype=U32)
+    ks = [rng.randrange(BN254G2.n) for _ in range(n)]
+    sc = jnp.asarray(limb.ints_to_limbs(ks))
+    out = m.run_device(P.x, P.y, valid, sc)
+    got = m.ctx.points_to_host(type(out)(out.x[None], out.y[None], out.z[None]))[0]
+    assert got == BN254G2.msm(ks, pts)
