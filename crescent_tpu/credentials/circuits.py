@@ -157,23 +157,32 @@ class JWTFrontend(CircuitFrontend):
         pub_value = {
             n: cs.alloc_public(val(f"{n}_value"), f"{n}_value") for n in revealed
         }
+        for n in hashed:
+            cs.mark_input(pub_digest[n], f"{n}_digest")
+        cs.mark_input(pub_modulus, "modulus")
+        for n in revealed:
+            cs.mark_input(pub_value[n], f"{n}_value")
 
         # ---- witness: message / signature / framing ----
         msg_vals = val("message", [0] * M)
         message = [cs.alloc(b) for b in msg_vals[:M]]
+        cs.mark_input(message, "message")
         sig_vals = val("signature", [0] * n_limbs)
         signature = []
         for i in range(n_limbs):
             v = cs.alloc(sig_vals[i] if i < len(sig_vals) else 0)
             cs.decompose_bits(v, CIRCOM_RS256_LIMB_BITS)
             signature.append(v)
+        cs.mark_input(signature, "signature")
         for v in pub_modulus:
             cs.decompose_bits(v, CIRCOM_RS256_LIMB_BITS)
         mpb = cs.alloc(val("message_padded_bytes"))
+        cs.mark_input(mpb, "message_padded_bytes")
         period_idx = cs.alloc(val("period_idx"))
+        cs.mark_input(period_idx, "period_idx")
 
         # ---- SHA-256 + RSA-65537 (jwt.circom JWTVerify) ----
-        nb = cs.alloc(cs.value(mpb) // 64)
+        nb = cs.alloc_shr(mpb, 6)
         cs.assert_equal(LC.of(nb, 64), LC.of(mpb))
         digest_bytes = sha256_var_gadget(cs, message, nb)
         expected = jc.digest_bytes_to_pkcs1_limbs(
@@ -195,7 +204,9 @@ class JWTFrontend(CircuitFrontend):
         for name, entry in claims:
             typ = {"string": 0, "number": 1, "date": 0, "integer": 1}[entry["type"]]
             l = cs.alloc(val(f"{name}_l"))
+            cs.mark_input(l, f"{name}_l")
             r = cs.alloc(val(f"{name}_r"))
+            cs.mark_input(r, f"{name}_r")
             tmpl = f'"{name}":'.encode()
             value_l, value_r = jc.match_claim_name(cs, jwt_bytes, tmpl, l, r, levels)
             mcbl = int(entry.get("max_claim_byte_len", 31))
@@ -220,7 +231,10 @@ class JWTFrontend(CircuitFrontend):
         cs = self._build(config, None)
         return cs.to_r1cs(), cs.io_locations()
 
-    def synthesize(self, config: dict, prover_inputs: dict):
+    def replay_inputs(self, config: dict, prover_inputs: dict) -> dict:
+        """Preprocess prover inputs exactly as synthesize does (hashed-claim
+        digest derivation); the result feeds either _build or a compiled
+        witness-program replay (r1cs/witness_program.py)."""
         pi = dict(prover_inputs)
         hashed = [
             n for n, e in self._claims(config) if e.get("reveal_digest", False)
@@ -230,7 +244,10 @@ class JWTFrontend(CircuitFrontend):
                 pre = json.dumps(pi[name], separators=(",", ":"))
                 digest = hashlib.sha256(pre.encode()).digest()
                 pi[f"{name}_digest"] = bits_to_num(digest[:31])
-        cs = self._build(config, pi)
+        return pi
+
+    def synthesize(self, config: dict, prover_inputs: dict):
+        cs = self._build(config, self.replay_inputs(config, prover_inputs))
         # NOTE: no internal is_satisfied here — api.create_client_state
         # checks satisfaction on the returned R1CS (native COO path), and
         # the redundant check cost ~11 s at rs256@2048 because each

@@ -498,11 +498,7 @@ class ECDSAProof:
         # (ecdsa-pop/src/lib.rs:541-545) — models/spartan_ser.py
         from ..models import spartan_ser
 
-        blob = zlib.compress(
-            spartan_ser.ecdsa_proof_to_bytes(
-                nizk, inst.num_cons, inst.num_vars, inst.num_inputs
-            )
-        )
+        blob = zlib.compress(spartan_ser.ecdsa_proof_to_bytes(nizk))
         return R[0], R[1], blob
 
     @staticmethod
@@ -525,9 +521,7 @@ class ECDSAProof:
         from ..models import spartan_ser
 
         try:
-            nizk, _nc, _nv, _ni = spartan_ser.ecdsa_proof_from_bytes(
-                zlib.decompress(proof_blob)
-            )
+            nizk = spartan_ser.ecdsa_proof_from_bytes(zlib.decompress(proof_blob))
             ts = Transcript(_ECDSA_TRANSCRIPT_LABEL)
             nizk.verify(inst, inputs, ts, gens)
             return True

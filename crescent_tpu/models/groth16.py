@@ -133,13 +133,20 @@ class R1CS:
     def num_vars(self) -> int:
         return self.num_instance + self.num_witness
 
-    def is_satisfied(self, z: list[int]) -> bool:
+    def is_satisfied(self, z) -> bool:
+        """z: list of ints, or an (nv, 4) u64 standard-form array (the
+        witness-program replay's native output)."""
         F = self.field
         nc = len(self.constraints)
-        if _native_ok() and nc > 512:
+        if isinstance(z, np.ndarray) and not _native_ok():
+            z = [int.from_bytes(row.tobytes(), "little") for row in
+                 np.ascontiguousarray(z, dtype="<u8")]
+        if _native_ok() and (nc > 512 or isinstance(z, np.ndarray)):
             # native path: 3 COO matvecs + one elementwise a*b-c check.
             # The pure-Python loop below was ~10 s of the rs256@2048 prove.
-            zu = nb.ints_to_u64([x % F for x in z])
+            zu = z if isinstance(z, np.ndarray) else nb.ints_to_u64(
+                [x % F for x in z]
+            )
             evs = [
                 nb.coo_matvec(F, rows, cols, coeffs, zu, nc)
                 for rows, cols, coeffs in _r1cs_coo(self)
@@ -633,15 +640,28 @@ def _msm_problem(pk: ProvingKey, name: str, scalars: list[int], msm_obj: MSM):
 def prove(
     pk: ProvingKey,
     r1cs: R1CS,
-    z: list[int],
+    z,
     rng: random.Random,
     r: Optional[int] = None,
     s: Optional[int] = None,
 ) -> Proof:
     """Groth16 prove (reference forks/groth16/src/prover.rs):
-    QAP witness map (NTT) + 4 MSMs, all on TPU."""
+    QAP witness map (NTT) + 4 MSMs, all on TPU.
+
+    z: full assignment — list of ints, or an (nv, 4) u64 standard-form
+    array (witness-program replay output; saves all int conversions)."""
     r = rng.randrange(R) if r is None else r
     s = rng.randrange(R) if s is None else s
+    zu_in = None
+    if isinstance(z, np.ndarray):
+        zu_in = z
+        z = None  # materialized lazily only if a fallback path needs ints
+
+    def _zlist():
+        nonlocal z
+        if z is None:
+            z = nb.u64_to_ints(zu_in)
+        return z
     dom = _domain_for(r1cs)
     shard = _sharded_prove()
     # Sharded-prove compiles bypass the persistent compilation cache
@@ -674,21 +694,21 @@ def prove(
         # multi-chip h(x): every length-N transform through the four-step
         # sharded NTT (one all_to_all each) instead of replicated NTTs
         with timed("prove::matvec Az/Bz/Cz"):
-            a, b, c = _matvec_evals(r1cs, z, dom)
+            a, b, c = _matvec_evals(r1cs, _zlist(), dom)
         with timed(f"prove::NTT h(x) sharded (domain 2^{dom.n.bit_length() - 1})"), guard():
             pipe = _sharded_h_pipeline(dom)
             h_full = pipe.compute_h(a, b, c)
             assert h_full[-1] == 0, "h degree bound violated (unsatisfied R1CS?)"
             h = h_full[:-1]
     elif use_dev_h:
-        zu = nb.ints_to_u64([x % R for x in z])
+        zu = zu_in if zu_in is not None else nb.ints_to_u64([x % R for x in z])
         h16 = _compute_h_device(r1cs, zu, dom)
     else:
-        h = _compute_h(r1cs, z, dom)
+        h = _compute_h(r1cs, _zlist(), dom)
 
     if shard is not None:
         smsm_g1, smsm_g2 = shard
-        zr = [x % R for x in z]
+        zr = [x % R for x in _zlist()]
         with timed(f"prove::MSMs sharded x{smsm_g1.mesh.devices.size} ({r1cs.num_vars} vars)"), guard():
             az = smsm_g1.run_host(zr, pk.a_query)
             bz1 = smsm_g1.run_host(zr, pk.b_g1_query)
@@ -703,7 +723,7 @@ def prove(
                 bz2 = smsm_g2.run_host(zr, pk.b_g2_query)
     elif _native_msm_prove():
         with timed(f"prove::MSMs native ({r1cs.num_vars} vars)"):
-            zr = [x % R for x in z]
+            zr = [x % R for x in _zlist()]
             az = nb.msm("bn254_g1", zr, pk.a_query)
             bz1 = nb.msm("bn254_g1", zr, pk.b_g1_query)
             hq = nb.msm("bn254_g1", h, pk.h_query)
@@ -727,7 +747,7 @@ def prove(
                     hsc = h16[:nh].astype(U32)
                 else:
                     zsc = limb.upload_limbs(
-                        limb.ints_to_limbs([x % R for x in z])
+                        limb.ints_to_limbs([x % R for x in _zlist()])
                     )
                     hsc = limb.upload_limbs(limb.ints_to_limbs(h))
                     nh = len(h)
@@ -756,7 +776,7 @@ def prove(
                     if zu is not None:
                         bz2 = nb.msm_g2_raw(zu, pk.native_g2_table())
                     else:
-                        bz2 = nb.msm_g2([x % R for x in z], pk.b_g2_query)
+                        bz2 = nb.msm_g2([x % R for x in _zlist()], pk.b_g2_query)
             if fold_res is not None:
                 az, bz1, hq, lw = msm_g1.ctx.points_to_host(
                     JPoints(
@@ -769,10 +789,10 @@ def prove(
                 # the 4 G1 MSMs as one vmapped program (per-chunk host loop)
                 res4 = msm_g1.run_device_many(
                     [
-                        _msm_problem(pk, "a_query", z, msm_g1),
-                        _msm_problem(pk, "b_g1_query", z, msm_g1),
+                        _msm_problem(pk, "a_query", _zlist(), msm_g1),
+                        _msm_problem(pk, "b_g1_query", _zlist(), msm_g1),
                         _msm_problem(pk, "h_query", h, msm_g1),
-                        _msm_problem(pk, "l_query", z[r1cs.num_instance :], msm_g1),
+                        _msm_problem(pk, "l_query", _zlist()[r1cs.num_instance :], msm_g1),
                     ]
                 )
                 az, bz1, hq, lw = msm_g1.ctx.points_to_host(res4)
@@ -785,9 +805,9 @@ def prove(
                     if zu is not None:
                         bz2 = nb.msm_g2_raw(zu, pk.native_g2_table())
                     else:
-                        bz2 = nb.msm_g2([x % R for x in z], pk.b_g2_query)
+                        bz2 = nb.msm_g2([x % R for x in _zlist()], pk.b_g2_query)
                 else:
-                    pg2 = _msm_problem(pk, "b_g2_query", z, msm_g2)
+                    pg2 = _msm_problem(pk, "b_g2_query", _zlist(), msm_g2)
                     res2 = msm_g2.run_device(*pg2)
                     bz2 = msm_g2.ctx.points_to_host(
                         JPoints(res2.x[None], res2.y[None], res2.z[None])

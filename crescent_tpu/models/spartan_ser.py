@@ -7,15 +7,22 @@ config) conventions implemented here:
 
   * integers: fixed-width little-endian (u64 for lengths/usize),
   * Vec<T>: u64 LE length + items,
-  * fixed arrays / 33-byte compressed points: raw bytes, no length,
-  * scalars (T-256 Fq): 32-byte LE,
-  * struct fields in declaration order.
+  * fixed arrays (e.g. ProductProof.z: [Scalar; 5], Spartan-t256
+    src/nizk/mod.rs:153): items raw, NO length prefix (serde tuples),
+  * compressed points (CompressedGroup = serde_bytes::ByteArray<33>,
+    src/group.rs:17): serialize_bytes => u64 length (= 33) + 33 bytes,
+  * scalars (T-256 Fq, halo2curves derive field/common.rs:111
+    serde_arrays): 32 raw LE bytes, NO length prefix,
+  * struct fields in declaration order; the serialized object is the bare
+    NIZK (lib.rs:544 `bincode::serialize_into(&mut encoder, &proof)`) — no
+    shape header (the verifier re-synthesizes num_cons/num_vars/num_inputs).
 
 Our circuit arithmetization differs from the reference's by design
 (credentials/ecdsa_pop.py docstring), so these bytes are not expected to be
-accepted by the Rust verifier verbatim — but the container format matches
-bincode's, no code execution happens on decode (unlike pickle), and every
-field is bounds-checked.
+accepted by the Rust verifier verbatim — but the container format follows
+bincode 1.x semantics for the reference's declarations exactly
+(byte-offset goldens: tests/test_spartan_ser_goldens.py), no code execution
+happens on decode (unlike pickle), and every field is bounds-checked.
 """
 
 from __future__ import annotations
@@ -41,6 +48,9 @@ class _W:
         self.parts.append(int(x).to_bytes(32, "little"))
 
     def point(self, b: bytes):
+        # serde_bytes::ByteArray<33> -> bincode serialize_bytes:
+        # u64 LE length (always 33) + raw bytes
+        self.u64(_PT)
         self.raw(b, _PT)
 
     def vec(self, xs, item):
@@ -71,6 +81,9 @@ class _R:
         return int.from_bytes(self.raw(32), "little")
 
     def point(self) -> bytes:
+        n = self.u64()
+        if n != _PT:
+            raise ValueError(f"spartan deserialize: point length {n} != {_PT}")
         return self.raw(_PT)
 
     def vec(self, item) -> list:
@@ -109,12 +122,17 @@ def _w_product(w: _W, p: sp.ProductProof):
     w.point(p.alpha)
     w.point(p.beta)
     w.point(p.delta)
-    w.vec(p.z, w.scalar)
+    # z: [Scalar; 5] — fixed array, bincode emits NO length prefix
+    if len(p.z) != 5:
+        raise ValueError(f"ProductProof.z must have 5 scalars, got {len(p.z)}")
+    for x in p.z:
+        w.scalar(x)
 
 
 def _r_product(r: _R) -> sp.ProductProof:
     return sp.ProductProof(
-        alpha=r.point(), beta=r.point(), delta=r.point(), z=r.vec(r.scalar)
+        alpha=r.point(), beta=r.point(), delta=r.point(),
+        z=[r.scalar() for _ in range(5)],
     )
 
 
@@ -230,19 +248,12 @@ def nizk_from_bytes(buf: bytes) -> sp.NIZK:
     return sp.NIZK(r1cs_sat_proof=proof, rx=rx, ry=ry)
 
 
-def ecdsa_proof_to_bytes(nizk: sp.NIZK, num_cons: int, num_vars: int, num_inputs: int) -> bytes:
-    w = _W()
-    w.u64(num_cons)
-    w.u64(num_vars)
-    w.u64(num_inputs)
-    w.raw(nizk_to_bytes(nizk))
-    return w.bytes_out()
+def ecdsa_proof_to_bytes(nizk: sp.NIZK) -> bytes:
+    """The reference wire object is the bare NIZK (lib.rs:544); the verifier
+    re-synthesizes the circuit shape, so no num_cons/num_vars/num_inputs
+    header exists in the encoding."""
+    return nizk_to_bytes(nizk)
 
 
-def ecdsa_proof_from_bytes(buf: bytes):
-    r = _R(buf)
-    num_cons = r.u64()
-    num_vars = r.u64()
-    num_inputs = r.u64()
-    nizk = nizk_from_bytes(buf[r.pos :])
-    return nizk, num_cons, num_vars, num_inputs
+def ecdsa_proof_from_bytes(buf: bytes) -> sp.NIZK:
+    return nizk_from_bytes(buf)

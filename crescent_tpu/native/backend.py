@@ -79,6 +79,8 @@ def _lib():
             "cn_eq_evals": [u64p, u64p, szt, u64p],
             "cn_pairing_init": [u64p, u64p, u64p, u64p, cint],
             "cn_multi_pairing": [u64p, u64p, szt, u64p],
+            "cn_witness_run": [u64p, u32p, szt, u64p, u64p, u32p, u64p, szt,
+                               u64p, szt],
         }
         for name, args in sigs.items():
             fn = getattr(lib, name)
@@ -374,6 +376,25 @@ def dot(modulus: int, a: np.ndarray, b: np.ndarray) -> int:
 # ---------------------------------------------------------------------------
 
 _pairing_ready = False
+
+
+def witness_run(modulus: int, code: np.ndarray, coeffs_mont: np.ndarray,
+                bigpool: np.ndarray, in_idx: np.ndarray, in_val: np.ndarray,
+                nv: int) -> np.ndarray:
+    """Execute a serialized witness program (r1cs/witness_program.py);
+    returns the full (nv, 4) u64 standard-form assignment."""
+    lib = _lib()
+    values = np.zeros((nv, 4), dtype="<u8")
+    code = np.ascontiguousarray(code, dtype=np.uint32)
+    in_idx = np.ascontiguousarray(in_idx, dtype=np.uint32)
+    in_val = np.ascontiguousarray(in_val, dtype="<u8")
+    rc = lib.cn_witness_run(
+        _ptr(_mod_arr(modulus)), _ptr32(code), len(code), _ptr(coeffs_mont),
+        _ptr(bigpool), _ptr32(in_idx), _ptr(in_val), in_idx.shape[0],
+        _ptr(values), nv,
+    )
+    assert rc == 0, f"cn_witness_run failed (rc={rc})"
+    return values
 
 
 def _pairing_init() -> bool:

@@ -1637,3 +1637,393 @@ int cn_multi_pairing(const u64 *g1s, const u64 *g2s, size_t n, u64 *out) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Witness-program executor (r1cs/witness_program.py).
+//
+// Replays a compiled witness program: the framework's native equivalent of
+// the reference's compiled circom witness calculator
+// (forks/circom-compat/src/witness/witness_calculator.rs).  The program is a
+// flat u32 code stream + a deduplicated Montgomery coefficient table + a
+// big-constant pool (RSA moduli and Barrett reciprocals for DIVMOD ops).
+// Values are (nv, 4) u64 standard form — the exact layout groth16.prove
+// consumes (zu), so a replayed witness feeds the prover with zero
+// conversions.
+// ---------------------------------------------------------------------------
+
+namespace wp {
+
+// variable-width big unsigned helpers (little-endian u64 words)
+static void big_zero(u64 *a, int n) { memset(a, 0, 8 * (size_t)n); }
+
+// a += b << (64*shift_words + shift_bits), a has na words capacity
+static void big_add_shifted(u64 *a, int na, const u64 *b, int nb,
+                            int shift_bits_total) {
+    int sw = shift_bits_total / 64, sb = shift_bits_total % 64;
+    u128 carry = 0;
+    for (int i = 0; i <= nb && sw + i < na; ++i) {
+        u64 w = 0;
+        if (sb == 0) {
+            w = (i < nb) ? b[i] : 0;
+        } else {
+            u64 lo = (i < nb) ? (b[i] << sb) : 0;
+            u64 hi = (i > 0) ? (b[i - 1] >> (64 - sb)) : 0;
+            w = lo | hi;
+        }
+        carry += (u128)a[sw + i] + w;
+        a[sw + i] = (u64)carry;
+        carry >>= 64;
+    }
+    for (int i = sw + nb + 1; carry && i < na; ++i) {
+        carry += a[i];
+        a[i] = (u64)carry;
+        carry >>= 64;
+    }
+}
+
+// out(no words) = x(nx) * y(ny); out capacity >= nx+ny
+static void big_mul(u64 *out, const u64 *x, int nx, const u64 *y, int ny) {
+    big_zero(out, nx + ny);
+    for (int i = 0; i < nx; ++i) {
+        if (!x[i]) continue;
+        u128 carry = 0;
+        for (int j = 0; j < ny; ++j) {
+            carry += (u128)x[i] * y[j] + out[i + j];
+            out[i + j] = (u64)carry;
+            carry >>= 64;
+        }
+        int k = i + ny;
+        while (carry) {
+            carry += out[k];
+            out[k++] = (u64)carry;
+            carry >>= 64;
+        }
+    }
+}
+
+// out = a >> k (a has n words; out has n words)
+static void big_shr(u64 *out, const u64 *a, int n, int k) {
+    int sw = k / 64, sb = k % 64;
+    for (int i = 0; i < n; ++i) {
+        u64 lo = (sw + i < n) ? a[sw + i] : 0;
+        u64 hi = (sw + i + 1 < n) ? a[sw + i + 1] : 0;
+        out[i] = sb ? ((lo >> sb) | (hi << (64 - sb))) : lo;
+    }
+}
+
+static int big_cmp(const u64 *a, int na, const u64 *b, int nb) {
+    int n = na > nb ? na : nb;
+    for (int i = n - 1; i >= 0; --i) {
+        u64 x = i < na ? a[i] : 0, y = i < nb ? b[i] : 0;
+        if (x < y) return -1;
+        if (x > y) return 1;
+    }
+    return 0;
+}
+
+// a -= b (a >= b)
+static void big_sub(u64 *a, int na, const u64 *b, int nb) {
+    u128 borrow = 0;
+    for (int i = 0; i < na; ++i) {
+        u128 bi = (i < nb ? b[i] : 0) + borrow;
+        if ((u128)a[i] >= bi) {
+            a[i] = (u64)((u128)a[i] - bi);
+            borrow = 0;
+        } else {
+            a[i] = (u64)(((u128)1 << 64) + a[i] - bi);
+            borrow = 1;
+        }
+    }
+}
+
+// extract `width` bits at offset `shift` from a (n words)
+static u64 big_bits(const u64 *a, int n, int shift, int width) {
+    int sw = shift / 64, sb = shift % 64;
+    u64 lo = sw < n ? a[sw] >> sb : 0;
+    if (sb && sw + 1 < n) lo |= a[sw + 1] << (64 - sb);
+    return width >= 64 ? lo : (lo & (((u64)1 << width) - 1));
+}
+
+struct Eval {
+    const FieldCtx *f;
+    const u64 *coeffs;  // (ncoeff, 4) Montgomery
+    u64 *values;        // (nv, 4) standard
+
+    // acc = sum coeff[id] * values[idx]  (standard form)
+    void terms(const u32 *code, u32 nt, u64 *acc) const {
+        big_zero(acc, 4);
+        u64 t[4];
+        for (u32 i = 0; i < nt; ++i) {
+            u32 idx = code[2 * i], cid = code[2 * i + 1];
+            fmul(*f, coeffs + (size_t)cid * 4, values + (size_t)idx * 4, t);
+            fadd(*f, acc, t, acc);
+        }
+    }
+};
+
+}  // namespace wp
+
+extern "C" {
+
+// Returns 0 on success; negative codes identify the failing check.
+int cn_witness_run(const u64 *mod, const u32 *code, size_t code_len,
+                   const u64 *coeffs_mont, const u64 *bigpool,
+                   const u32 *in_idx, const u64 *in_val, size_t n_in,
+                   u64 *values, size_t nv) {
+    FieldCtx f;
+    field_init(f, mod);
+    u64 half[4];
+    memcpy(half, f.mod, 32);
+    // half = (mod-1)/2 -- mod is odd
+    u64 one_[4] = {1, 0, 0, 0};
+    u256_sub(half, half, one_);
+    for (int i = 0; i < 4; ++i) {
+        u64 hi = (i + 1 < 4) ? half[i + 1] : 0;
+        half[i] = (half[i] >> 1) | (hi << 63);
+    }
+    memset(values, 0, 32 * nv);
+    values[0] = 1;
+    for (size_t i = 0; i < n_in; ++i)
+        memcpy(values + (size_t)in_idx[i] * 4, in_val + i * 4, 32);
+
+    wp::Eval ev{&f, coeffs_mont, values};
+    size_t pc = 0;
+    u64 A[4], B[4], C[4], T[4];
+    while (pc < code_len) {
+        u32 kind = code[pc++];
+        switch (kind) {
+            case 0: {  // SOLVE_C: out, invc_id, nA, nB, nC, terms...
+                u32 out = code[pc], invc = code[pc + 1];
+                u32 na = code[pc + 2], nb = code[pc + 3], nc = code[pc + 4];
+                pc += 5;
+                ev.terms(code + pc, na, A); pc += 2 * na;
+                ev.terms(code + pc, nb, B); pc += 2 * nb;
+                ev.terms(code + pc, nc, C); pc += 2 * nc;
+                to_mont(f, A, T);
+                fmul(f, T, B, T);          // A*B standard
+                fsub(f, T, C, T);
+                fmul(f, coeffs_mont + (size_t)invc * 4, T,
+                     values + (size_t)out * 4);
+                break;
+            }
+            case 1: {  // SOLVE_LIN: out, invc_id, nA, terms...
+                u32 out = code[pc], invc = code[pc + 1], na = code[pc + 2];
+                pc += 3;
+                ev.terms(code + pc, na, A); pc += 2 * na;
+                fmul(f, coeffs_mont + (size_t)invc * 4, A,
+                     values + (size_t)out * 4);
+                break;
+            }
+            case 2: {  // DECOMP: nouts, neg, nkn, (out,shift,width)*, kn...
+                u32 nouts = code[pc], neg = code[pc + 1], nkn = code[pc + 2];
+                pc += 3;
+                const u32 *osw = code + pc; pc += 3 * nouts;
+                ev.terms(code + pc, nkn, A); pc += 2 * nkn;
+                if (!neg) {  // r = (-eval) mod F
+                    wp::big_zero(C, 4);
+                    fsub(f, C, A, T);
+                    memcpy(A, T, 32);
+                }
+                u64 acc[5] = {0, 0, 0, 0, 0};
+                for (u32 j = 0; j < nouts; ++j) {
+                    u32 o = osw[3 * j], sh = osw[3 * j + 1], w = osw[3 * j + 2];
+                    u64 v = wp::big_bits(A, 4, (int)sh, (int)(w > 64 ? 64 : w));
+                    u64 *dst = values + (size_t)o * 4;
+                    wp::big_zero(dst, 4);
+                    dst[0] = v;
+                    u64 vv[1] = {v};
+                    wp::big_add_shifted(acc, 5, vv, 1, (int)sh);
+                }
+                if (acc[4] != 0 || u256_cmp(acc, A) != 0) return -2;
+                break;
+            }
+            case 3: {  // HINT_DECOMP: base, nbits, nt, terms...
+                u32 base = code[pc], nbits = code[pc + 1], nt = code[pc + 2];
+                pc += 3;
+                ev.terms(code + pc, nt, A); pc += 2 * nt;
+                for (u32 i = 0; i < nbits; ++i) {
+                    u64 *dst = values + (size_t)(base + i) * 4;
+                    wp::big_zero(dst, 4);
+                    dst[0] = (A[i / 64] >> (i % 64)) & 1;
+                }
+                break;
+            }
+            case 4: {  // INV01: inv, out, nt, terms...
+                u32 invw = code[pc], outw = code[pc + 1], nt = code[pc + 2];
+                pc += 3;
+                ev.terms(code + pc, nt, A); pc += 2 * nt;
+                u64 *di = values + (size_t)invw * 4;
+                u64 *dout = values + (size_t)outw * 4;
+                if (u256_is_zero(A)) {
+                    wp::big_zero(di, 4);
+                    wp::big_zero(dout, 4);
+                    dout[0] = 1;
+                } else {
+                    to_mont(f, A, T);
+                    finv(f, T, T);
+                    from_mont(f, T, di);
+                    wp::big_zero(dout, 4);
+                }
+                break;
+            }
+            case 5: {  // ONEHOT: base, n, nt, terms...
+                u32 base = code[pc], n = code[pc + 1], nt = code[pc + 2];
+                pc += 3;
+                ev.terms(code + pc, nt, A); pc += 2 * nt;
+                u64 x = (A[1] | A[2] | A[3]) ? ~(u64)0 : A[0];
+                for (u32 j = 0; j < n; ++j) {
+                    u64 *dst = values + (size_t)(base + j) * 4;
+                    wp::big_zero(dst, 4);
+                    dst[0] = (j == x) ? 1 : 0;
+                }
+                break;
+            }
+            case 6: {  // SHR: out, k, nt, terms...
+                u32 out = code[pc], k = code[pc + 1], nt = code[pc + 2];
+                pc += 3;
+                ev.terms(code + pc, nt, A); pc += 2 * nt;
+                wp::big_shr(values + (size_t)out * 4, A, 4, (int)k);
+                break;
+            }
+            case 7: {  // NEGMOD: out, k, nt, terms...
+                u32 out = code[pc], k = code[pc + 1], nt = code[pc + 2];
+                pc += 3;
+                ev.terms(code + pc, nt, A); pc += 2 * nt;
+                u64 mask = (k >= 64) ? ~(u64)0 : (((u64)1 << k) - 1);
+                u64 v = A[0] & mask;
+                u64 *dst = values + (size_t)out * 4;
+                wp::big_zero(dst, 4);
+                dst[0] = (mask + 1 - v) & mask;  // (-v) mod 2^k, k < 64
+                break;
+            }
+            case 8: {  // SSHR_BIAS: out, k, bias_off, nt, terms...
+                u32 out = code[pc], k = code[pc + 1], boff = code[pc + 2];
+                u32 nt = code[pc + 3];
+                pc += 4;
+                ev.terms(code + pc, nt, A); pc += 2 * nt;
+                const u64 *bias = bigpool + boff;  // standard, 4 words
+                u64 *dst = values + (size_t)out * 4;
+                if (u256_cmp(A, half) > 0) {  // negative representative
+                    u64 m[4];
+                    u256_sub(m, f.mod, A);            // magnitude
+                    // ceil(m / 2^k) = (m + 2^k - 1) >> k ; m < 2^254 so
+                    // the add cannot overflow 4 words for k <= 127
+                    u64 addend[4] = {0, 0, 0, 0};  // k < 128 expected
+                    if (k < 64) addend[0] = ((u64)1 << k) - 1;
+                    else { addend[0] = ~(u64)0; addend[1] = ((u64)1 << (k - 64)) - 1; }
+                    u256_add(m, m, addend);
+                    wp::big_shr(T, m, 4, (int)k);
+                    fsub(f, bias, T, dst);
+                } else {
+                    wp::big_shr(T, A, 4, (int)k);
+                    fadd(f, bias, T, dst);
+                }
+                break;
+            }
+            case 9: {  // DIVMOD
+                u32 limb_bits = code[pc], ka = code[pc + 1], kb = code[pc + 2];
+                u32 kq = code[pc + 3], kr = code[pc + 4];
+                u32 noff = code[pc + 5], nw = code[pc + 6];
+                u32 muoff = code[pc + 7], muw = code[pc + 8], S = code[pc + 9];
+                pc += 10;
+                const int WA = 72, WX = 144, WQ = 256;
+                std::vector<u64> Abig(WA, 0), Bbig(WA, 0), X(WX, 0),
+                    XMu(WQ, 0), Q(WX, 0), QN(WQ, 0);
+                for (u32 li = 0; li < ka; ++li) {
+                    u32 nt = code[pc++];
+                    ev.terms(code + pc, nt, A); pc += 2 * nt;
+                    wp::big_add_shifted(Abig.data(), WA, A, 4,
+                                        (int)(limb_bits * li));
+                }
+                for (u32 li = 0; li < kb; ++li) {
+                    u32 nt = code[pc++];
+                    ev.terms(code + pc, nt, A); pc += 2 * nt;
+                    wp::big_add_shifted(Bbig.data(), WA, A, 4,
+                                        (int)(limb_bits * li));
+                }
+                const u32 *qidx = code + pc; pc += kq;
+                const u32 *ridx = code + pc; pc += kr;
+                wp::big_mul(X.data(), Abig.data(), WA / 2, Bbig.data(), WA / 2);
+                // q_hat = (X * mu) >> S
+                wp::big_mul(XMu.data(), X.data(), WX / 2 + 2,
+                            bigpool + muoff, (int)muw);
+                // q_hat = XMu >> S
+                {
+                    int sw = (int)S / 64, sb = (int)S % 64;
+                    for (int i = 0; i < WX; ++i) {
+                        u64 lo = (sw + i < WQ) ? XMu[sw + i] : 0;
+                        u64 hi = (sw + i + 1 < WQ) ? XMu[sw + i + 1] : 0;
+                        Q[i] = sb ? ((lo >> sb) | (hi << (64 - sb))) : lo;
+                    }
+                }
+                // r = X - q*n ; correct while r >= n
+                wp::big_mul(QN.data(), Q.data(), WX / 2 + 2, bigpool + noff,
+                            (int)nw);
+                if (wp::big_cmp(QN.data(), WX, X.data(), WX) > 0) return -3;
+                wp::big_sub(X.data(), WX, QN.data(), WX);
+                int guard = 0;
+                while (wp::big_cmp(X.data(), WX, bigpool + noff, (int)nw) >= 0) {
+                    wp::big_sub(X.data(), WX, bigpool + noff, (int)nw);
+                    // Q += 1
+                    for (int i = 0; i < WX; ++i) {
+                        if (++Q[i]) break;
+                    }
+                    if (++guard > 8) return -4;
+                }
+                for (u32 li = 0; li < kq; ++li) {
+                    u64 *dst = values + (size_t)qidx[li] * 4;
+                    wp::big_zero(dst, 4);
+                    for (int w = 0; w < 4; ++w)
+                        dst[w] = wp::big_bits(Q.data(), WX,
+                                              (int)(limb_bits * li) + 64 * w,
+                                              64);
+                    // mask to limb_bits
+                    int top = (int)limb_bits;
+                    for (int w = 0; w < 4; ++w) {
+                        int lo = 64 * w;
+                        if (lo >= top) dst[w] = 0;
+                        else if (top - lo < 64)
+                            dst[w] &= (((u64)1 << (top - lo)) - 1);
+                    }
+                }
+                for (u32 li = 0; li < kr; ++li) {
+                    u64 *dst = values + (size_t)ridx[li] * 4;
+                    wp::big_zero(dst, 4);
+                    for (int w = 0; w < 4; ++w)
+                        dst[w] = wp::big_bits(X.data(), WX,
+                                              (int)(limb_bits * li) + 64 * w,
+                                              64);
+                    int top = (int)limb_bits;
+                    for (int w = 0; w < 4; ++w) {
+                        int lo = 64 * w;
+                        if (lo >= top) dst[w] = 0;
+                        else if (top - lo < 64)
+                            dst[w] &= (((u64)1 << (top - lo)) - 1);
+                    }
+                }
+                break;
+            }
+            case 10: {  // SOLVE_AB: out, invc_id, nR, nOther, nC, terms...
+                u32 out = code[pc], invc = code[pc + 1];
+                u32 nr = code[pc + 2], no = code[pc + 3], nc = code[pc + 4];
+                pc += 5;
+                ev.terms(code + pc, nr, A); pc += 2 * nr;   // R_rest
+                ev.terms(code + pc, no, B); pc += 2 * no;   // other row
+                ev.terms(code + pc, nc, C); pc += 2 * nc;   // C row
+                if (u256_is_zero(B)) return -5;
+                to_mont(f, B, T);
+                finv(f, T, T);               // (other)^-1 Montgomery
+                fmul(f, T, C, T);            // C / other, standard
+                fsub(f, T, A, T);
+                fmul(f, coeffs_mont + (size_t)invc * 4, T,
+                     values + (size_t)out * 4);
+                break;
+            }
+            default:
+                return -1;
+        }
+    }
+    return 0;
+}
+
+}  // extern "C"

@@ -53,8 +53,15 @@ def mul_mod_gadget(
     a_int = limbs_to_int_vals(cs, a, limb_bits)
     b_int = limbs_to_int_vals(cs, b, limb_bits)
     q_int, r_int = divmod(a_int * b_int, n_int)
-    q = alloc_bigint(cs, q_int, k, limb_bits=limb_bits)
-    r = alloc_bigint(cs, r_int, k, limb_bits=limb_bits)
+    # q/r are genuine witness hints: allocate first, record the divmod hint
+    # (so replay computes them before their range checks), then range-check
+    q = alloc_bigint(cs, q_int, k, range_check=False, limb_bits=limb_bits)
+    r = alloc_bigint(cs, r_int, k, range_check=False, limb_bits=limb_bits)
+    cs.hint_divmod(a, b, n_int, [v.idx for v in q], [v.idx for v in r], limb_bits)
+    for v in q:
+        cs.decompose_bits(v, limb_bits)
+    for v in r:
+        cs.decompose_bits(v, limb_bits)
 
     # cross-product limbs (one mult constraint each)
     prod = [LC() for _ in range(2 * k - 1)]
@@ -83,11 +90,13 @@ def mul_mod_gadget(
         # diff must be divisible by 2^120; next carry = diff / 2^120
         assert diff_val % shift == 0, "modmul witness inconsistency"
         next_carry = diff_val // shift
-        nc = cs.alloc((next_carry + offset) % R)
+        diff_lc = prod[idx] - rhs[idx] + carry_lc
+        nc = cs.alloc_sshr_bias(diff_lc, limb_bits, offset)
+        assert cs.value(nc) == (next_carry + offset) % R
         cs.decompose_bits(nc, carry_bits)  # range check biased carry
         # constraint: prod - rhs + carry == (nc - offset) * 2^120
         cs.enforce(
-            prod[idx] - rhs[idx] + carry_lc - LC.of(nc, shift) + LC.of(offset * shift),
+            diff_lc - LC.of(nc, shift) + LC.of(offset * shift),
             LC.of(1),
             LC.of(0),
         )

@@ -174,6 +174,7 @@ class ConstraintSystem:
         F = self.F
         self._frozen_publics = True
         base = len(vals)
+        self._hint("decomp", LC.of(x).to_list(F), base, nbits)
         acc = []
         for i in range(nbits):
             idx = base + i
@@ -230,10 +231,66 @@ class ConstraintSystem:
         vx = self.value(x)
         inv = self.alloc(pow(vx, -1, self.F) if vx else 0)
         out = self.alloc(0 if vx else 1)
+        self._hint("inv01", LC.of(x).to_list(self.F), inv.idx, out.idx)
         # out = 1 - x*inv ; x*out = 0
         self.enforce(LC.of(x), LC.of(inv), LC.of(1) - LC.of(out))
         self.enforce(LC.of(x), LC.of(out), LC.of(0))
         return out
+
+    # -- witness-replay hint plumbing ---------------------------------------
+    def _hint(self, kind: str, *payload):
+        self.hints.append((len(self.constraints), kind, payload))
+
+    def mark_input(self, vars, name: str):
+        """Declare wires whose values come from prover inputs (not derivable
+        by constraint solving).  `vars` is a Var or list of Vars; replay
+        feeds them from an input dict keyed by `name` (list of ints)."""
+        if isinstance(vars, Var):
+            vars = [vars]
+        self.input_wires.append((name, [v.idx for v in vars]))
+
+    def one_hot(self, x, n: int) -> list[Var]:
+        """Allocate an n-wide one-hot indicator for value(x) (no constraints
+        — the caller emits them, e.g. jwt_circuit.point_indicator)."""
+        xv = self.value(x)
+        base = len(self.values)
+        out = [self.alloc(1 if j == xv else 0) for j in range(n)]
+        self._hint("onehot", LC.of(x).to_list(self.F), base, n)
+        return out
+
+    def alloc_shr(self, x, k: int) -> Var:
+        """Allocate value(x) >> k (exact floor-div by 2^k; the caller
+        constrains it)."""
+        out = self.alloc(self.value(x) >> k)
+        self._hint("shr", LC.of(x).to_list(self.F), out.idx, k)
+        return out
+
+    def alloc_negmod_pow2(self, x, k: int) -> Var:
+        """Allocate (-value(x)) mod 2^k."""
+        out = self.alloc((-self.value(x)) % (1 << k))
+        self._hint("negmod", LC.of(x).to_list(self.F), out.idx, k)
+        return out
+
+    def alloc_sshr_bias(self, lc, k: int, bias: int) -> Var:
+        """Allocate ((signed_lift(value(lc)) >> k) + bias) mod F, where
+        signed_lift maps residues > F/2 to their negative representatives.
+        Used for biased carry witnesses in bigint gadgets."""
+        v = self.value(lc)
+        if v > self.F // 2:
+            v -= self.F
+        out = self.alloc((( v >> k) + bias) % self.F)
+        self._hint("sshr_bias", LC.of(lc).to_list(self.F), out.idx, k, bias)
+        return out
+
+    def hint_divmod(self, a_limbs, b_limbs, n_int: int, q_idx: list[int],
+                    r_idx: list[int], limb_bits: int):
+        """Record: (A*B) divmod n_int -> q/r limbs, where A/B are little-
+        endian limb vectors of wires (each limb an LC/Var/const)."""
+        F = self.F
+        a_terms = [LC.of(l).to_list(F) for l in a_limbs]
+        b_terms = [LC.of(l).to_list(F) for l in b_limbs]
+        self._hint("divmod", a_terms, b_terms, n_int, tuple(q_idx),
+                   tuple(r_idx), limb_bits)
 
     # -- export -------------------------------------------------------------
     @property
@@ -243,12 +300,18 @@ class ConstraintSystem:
     def to_r1cs(self):
         from ..models.groth16 import R1CS
 
-        return R1CS(
+        r = R1CS(
             num_instance=self.num_instance,
             num_witness=len(self.values) - self.num_instance,
             constraints=self.constraints,
             field=self.F,
         )
+        # witness-replay metadata rides on the R1CS so the api layer can
+        # compile a replay program (r1cs/witness_program.py) without keeping
+        # the whole ConstraintSystem alive
+        r._hints = self.hints
+        r._input_wires = self.input_wires
+        return r
 
     def assignment(self) -> list[int]:
         return list(self.values)

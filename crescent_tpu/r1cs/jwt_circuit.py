@@ -49,8 +49,7 @@ def is_equal(cs: ConstraintSystem, a, b) -> Var:
 
 def point_indicator(cs: ConstraintSystem, l, n: int) -> list:
     """One-hot vector with 1 at position l (indicator.circom:7-27)."""
-    lv = cs.value(l)
-    ind = [cs.alloc(1 if j == lv else 0) for j in range(n)]
+    ind = cs.one_hot(l, n)
     total = LC()
     for j, v in enumerate(ind):
         total = total + LC.of(v)
@@ -395,10 +394,9 @@ def hash_reveal_claim_value(
     n_blocks = (max_claim_byte_len * 8 + 1 + 64) // 512 + 1
     max_bytes_padded = n_blocks * 64
     data_len = cs.add_const_mul(LC.of(r) - LC.of(l))
-    # padding_zero_bytes witness + checks (CalculatePadding)
-    dval = cs.value(data_len)
-    pzb_val = ((dval + 1 + 8 + 63) // 64) * 64 - (dval + 1 + 8)
-    pzb = cs.alloc(pzb_val % R)
+    # padding_zero_bytes witness + checks (CalculatePadding):
+    # pzb = next-multiple-of-64(d+9) - (d+9)  ==  (-(d+9)) mod 64
+    pzb = cs.alloc_negmod_pow2(LC.of(data_len) + LC.of(9), 6)
     cs.decompose_bits(pzb, 6)
     le55 = less_than(cs, pzb, 56, 6)
     cs.assert_equal(le55, LC.of(1))
@@ -431,7 +429,7 @@ def hash_reveal_claim_value(
             t = cs.mul(pi[j], len_bytes[7 - i])
             nxt.append(cs.add_const_mul(LC.of(t) + LC.of(cur[j])))
         cur = nxt
-    nb = cs.alloc((cs.value(padded_len) // 64) % R)
+    nb = cs.alloc_shr(padded_len, 6)
     cs.assert_equal(LC.of(nb, 64), LC.of(padded_len))
     digest_bytes = sha256_var_gadget(cs, cur, nb)
     # truncate to 248 bits: circom packs sha.out[0..248) where out[0] is the

@@ -201,8 +201,9 @@ def sha256_var_gadget(cs: ConstraintSystem, message_bytes: list, num_blocks) -> 
         states.append(state)
 
     # one-hot indicator over blocks: sum ind = 1, sum ind_b*(b+1) = num_blocks
-    nb_val = cs.value(num_blocks)
-    ind = [cs.alloc_bool(1 if (b + 1) == nb_val else 0) for b in range(total_blocks)]
+    ind = cs.one_hot(LC.of(num_blocks) - LC.of(1), total_blocks)
+    for b in ind:
+        cs.assert_bool(b)
     sum_ind = LC()
     sum_idx = LC()
     for b, iv in enumerate(ind):
