@@ -44,11 +44,17 @@ def create_show_proof_client(
     challenge: str,
     proof_spec_b64url: str,
     device_priv_key: Optional[str] = None,
+    rng_seed: Optional[bytes] = None,
+    cur_time: Optional[int] = None,
 ) -> str:
     """create_show_proof_wasm (wasm_lib.rs:46-159), argument for argument.
 
     Returns the b64url ShowProof.  Raises ValueError on malformed inputs
     (the wasm returns Err strings; callers map exceptions the same way).
+
+    `rng_seed`/`cur_time` make the output deterministic (HashDRBG — the
+    same stream the JS prover sample/client/crypto/show.js derives), used
+    to generate the cross-language golden vectors in sample/client/test/.
     """
     from .credentials.rangeproof import RangeProofPK
     from .utils import ark
@@ -79,15 +85,22 @@ def create_show_proof_client(
         device = TestDevice.new_from_pem(device_priv_key)
         device_signature = device.sign(proof_spec.presentation_message)
 
+    rng = None
+    if rng_seed is not None:
+        from .utils.drbg import HashDRBG
+
+        rng = HashDRBG(rng_seed)
+
     if client_state.credtype == "mdl":
         age = _disc_uid_to_age(disc_uid)
         proof_spec.range_over_year = {"birth_date": age}
         show_proof = api.create_show_proof_mdl(
-            client_state, range_pk, proof_spec, io_locations, device_signature
+            client_state, range_pk, proof_spec, io_locations, device_signature,
+            rng=rng, cur_time=cur_time,
         )
     else:
         show_proof = api.create_show_proof(
             client_state, range_pk, io_locations, proof_spec,
-            device_signature=device_signature,
+            device_signature=device_signature, rng=rng, cur_time=cur_time,
         )
     return to_b64url(ark.serialize(show_proof))

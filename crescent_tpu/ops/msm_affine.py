@@ -229,24 +229,20 @@ class AffineMSM:
         return npk, nx, ny
 
     # -- bucket aggregation -----------------------------------------------------
-    def _aggregate(self, pk, ex, ey):
-        """Dense (W, B) table -> suffix sums -> bucket weighting -> window
-        combine.  Returns one Jacobian point as (16,) planes x3."""
-        W, B, c = self.W, self.B, self.c
+    def _scatter_dense(self, pk, ex, ey, fused: bool = False):
+        """Survivors -> dense Jacobian bucket tables (R, W*B[p]) x3.
+        The dense tables are an EC-additive representation: tables from
+        different point shards combine with jadd (the sharded MSM
+        all_gathers them — parallel/sharded_msm.py)."""
+        W, B = self.W, self.B
         pec = self.pec
         WB = W * B
-        import os
-
         ev = (pk & 1).astype(U32)
         keys = pk >> 1
         R = self.rows
         one = jnp.asarray(
             self.ctx.fctx.to_mont_host([self.ctx.fctx.host_one])[0]
         ).reshape(R).astype(U32)
-        # Fused aggregate measured SLOWER (279k vs 297k pts/s at 2^16): the
-        # per-window sequential grid underutilizes the VPU vs overlapped
-        # wide launches.  Kept opt-in for future re-evaluation (PERF.md).
-        fused = os.environ.get("CRESCENT_MSM_FUSED_AGG", "0") == "1"
         if fused:
             # scatter into the lane-padded layout the fused kernel reads
             # (window stride Bp, columns >= B zero = identity)
@@ -263,6 +259,25 @@ class AffineMSM:
         dy = jnp.zeros((R, WBp), U32).at[:, idx].set(ey, mode="drop")
         dv = jnp.zeros((1, WBp), U32).at[:, idx].set(ev[None, :], mode="drop")[0]
         dz = jnp.where(dv[None, :] != 0, one[:, None], jnp.uint32(0))
+        return dx, dy, dz
+
+    def _aggregate(self, pk, ex, ey):
+        """Dense (W, B) table -> suffix sums -> bucket weighting -> window
+        combine.  Returns one Jacobian point as (16,) planes x3."""
+        import os
+
+        # Fused aggregate measured SLOWER (279k vs 297k pts/s at 2^16): the
+        # per-window sequential grid underutilizes the VPU vs overlapped
+        # wide launches.  Kept opt-in for future re-evaluation (PERF.md).
+        fused = os.environ.get("CRESCENT_MSM_FUSED_AGG", "0") == "1"
+        dx, dy, dz = self._scatter_dense(pk, ex, ey, fused)
+        return self._aggregate_dense(dx, dy, dz, fused)
+
+    def _aggregate_dense(self, dx, dy, dz, fused: bool = False):
+        W, B, c = self.W, self.B, self.c
+        pec = self.pec
+        WB = W * B
+        R = self.rows
 
         if fused:
             # suffix sums + weight tree fused into ONE launch (grid over
@@ -320,68 +335,79 @@ class AffineMSM:
         return ax[:, 0], ay[:, 0], az[:, 0]
 
     # -- full program -----------------------------------------------------------
+    def _round_schedule(self, n: int) -> list[int]:
+        """Static survivor-count schedule for an n-point problem."""
+        W, B = self.W, self.B
+        m0 = n * W
+        # static size schedule: survivors <= m/4 + 3/4 * (#segments + 1)
+        slack = (3 * (W * B + 2)) // 4 + 64
+        rounds = []
+        m = m0
+        max_seg = m0
+        while max_seg > 1:
+            # clamp: the gather-compaction slices argsort(~head)[:mn],
+            # so a round may not grow (tiny-N worst-case schedules)
+            m = min(quantize(m // 4 + slack, self.min_bucket), m)
+            rounds.append(m)
+            max_seg = -(-max_seg // 4)
+        return rounds
+
+    def _survivors(self, px, py, pvalid, scalars, n: int):
+        """Traceable phases 1-2: recode, sort, 4-ary reduction rounds.
+        Returns (pk, ex, ey) survivor arrays — feed to _aggregate (single
+        device) or _scatter_dense (sharded combine)."""
+        W, B, sentinel = self.W, self.B, self.sentinel
+        ctx = self.ctx
+        # digit recoding INSIDE the program: the generic-c bit
+        # extraction is ~270 tiny ops — eager dispatch of those
+        # over the device tunnel cost 2x the whole MSM.
+        from .msm import scalar_digits_signed
+
+        digits, signs = scalar_digits_signed(scalars, self.c)
+        # -y through the field adapter's element layout (Fp: (16,);
+        # Fq2: (2, 16)), then back to flat (rows,) planes
+        esh = ctx.fctx.elem_shape
+        neg_py = ctx.fctx.neg_mod(py.reshape((n,) + esh)).reshape(
+            n, self.rows
+        )
+        xt = px.T
+        txy = jnp.concatenate(
+            [
+                jnp.concatenate([xt, xt], axis=1),
+                jnp.concatenate([py.T, neg_py.T], axis=1),
+            ],
+            axis=0,
+        )  # (2*rows, 2n): column j -> (x, y); column n+j -> (x, -y)
+        valid = (digits != 0) & (pvalid[:, None] != 0)
+        keys = jnp.where(
+            valid,
+            jnp.arange(W, dtype=U32)[None, :] * B + digits,
+            jnp.uint32(sentinel),
+        )
+        pk = keys * 2 + valid.astype(U32)
+        pay = (
+            jnp.broadcast_to(
+                jnp.arange(n, dtype=U32)[:, None] << 1, (n, W)
+            )
+            | signs
+        )
+        spk, spay = jax.lax.sort(
+            (pk.reshape(-1), pay.reshape(-1)), num_keys=1
+        )
+        ex = ey = None
+        for i, mn in enumerate(self._round_schedule(n)):
+            if i == 0:
+                spk, ex, ey = self._round1(spk, spay, txy, mn, n)
+            else:
+                spk, ex, ey = self._round(spk, ex, ey, mn)
+        return spk, ex, ey
+
     def _get_msm(self, n: int):
         if n not in self._msm:
-            W, B, sentinel = self.W, self.B, self.sentinel
-            ctx = self.ctx
-            m0 = n * W
-            # static size schedule: survivors <= m/4 + 3/4 * (#segments + 1)
-            slack = (3 * (W * B + 2)) // 4 + 64
-            rounds = []
-            m = m0
-            max_seg = m0
-            while max_seg > 1:
-                # clamp: the gather-compaction slices argsort(~head)[:mn],
-                # so a round may not grow (tiny-N worst-case schedules)
-                m = min(quantize(m // 4 + slack, self.min_bucket), m)
-                rounds.append(m)
-                max_seg = -(-max_seg // 4)
 
             @jax.jit
             def msm(px, py, pvalid, scalars):
-                # digit recoding INSIDE the program: the generic-c bit
-                # extraction is ~270 tiny ops — eager dispatch of those
-                # over the device tunnel cost 2x the whole MSM.
-                from .msm import scalar_digits_signed
-
-                digits, signs = scalar_digits_signed(scalars, self.c)
-                # -y through the field adapter's element layout (Fp: (16,);
-                # Fq2: (2, 16)), then back to flat (rows,) planes
-                esh = ctx.fctx.elem_shape
-                neg_py = ctx.fctx.neg_mod(py.reshape((n,) + esh)).reshape(
-                    n, self.rows
-                )
-                xt = px.T
-                txy = jnp.concatenate(
-                    [
-                        jnp.concatenate([xt, xt], axis=1),
-                        jnp.concatenate([py.T, neg_py.T], axis=1),
-                    ],
-                    axis=0,
-                )  # (2*rows, 2n): column j -> (x, y); column n+j -> (x, -y)
-                valid = (digits != 0) & (pvalid[:, None] != 0)
-                keys = jnp.where(
-                    valid,
-                    jnp.arange(W, dtype=U32)[None, :] * B + digits,
-                    jnp.uint32(sentinel),
-                )
-                pk = keys * 2 + valid.astype(U32)
-                pay = (
-                    jnp.broadcast_to(
-                        jnp.arange(n, dtype=U32)[:, None] << 1, (n, W)
-                    )
-                    | signs
-                )
-                spk, spay = jax.lax.sort(
-                    (pk.reshape(-1), pay.reshape(-1)), num_keys=1
-                )
-                ex = ey = None
-                for i, mn in enumerate(rounds):
-                    if i == 0:
-                        spk, ex, ey = self._round1(spk, spay, txy, mn, n)
-                    else:
-                        spk, ex, ey = self._round(spk, ex, ey, mn)
-                return self._aggregate(spk, ex, ey)
+                return self._aggregate(*self._survivors(px, py, pvalid, scalars, n))
 
             self._msm[n] = msm
         return self._msm[n]
