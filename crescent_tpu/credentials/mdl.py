@@ -520,14 +520,19 @@ class _MDLIOBase(CircuitFrontend):
 
         return val
 
-    def synthesize(self, config: dict, prover_inputs: dict):
+    def replay_inputs(self, config: dict, prover_inputs: dict) -> dict:
+        """Preprocess prover inputs exactly as synthesize does (digest
+        derivation) — feeds _build or a compiled witness-program replay."""
         pi = dict(prover_inputs)
         for name, entry in config.items():
             if name in CRESCENT_CONFIG_KEYS or name.startswith("device_key_"):
                 continue
             if entry.get("reveal_digest", False) and f"{name}_digest" not in pi and name in pi:
                 pi[f"{name}_digest"] = mdl_attribute_digest(pi[name])
-        cs = self._build(config, pi)
+        return pi
+
+    def synthesize(self, config: dict, prover_inputs: dict):
+        cs = self._build(config, self.replay_inputs(config, prover_inputs))
         # satisfaction is checked by api.create_client_state on the returned
         # R1CS (native COO path) — an internal check here would rebuild the
         # COO cache on a throwaway R1CS (round-5 perf cleanup)
@@ -577,16 +582,27 @@ class MDLFrontend(_MDLIOBase):
         M = int(config.get("max_cred_len", 1792))
         assert M % 64 == 0
         pub = self._alloc_publics(cs, config, val)
+        # mark every public as a replay input: scalar publics by name,
+        # pubkey limbs vector-wise under their list keys
+        for k, v in pub.items():
+            if "[" not in k:
+                cs.mark_input(v, k)
+        for base_name in ("pubkey_x", "pubkey_y"):
+            vars_ = [pub[f"{base_name}[{i}]"] for i in range(P256_PUBKEY_LIMBS)]
+            cs.mark_input(vars_, base_name)
         Qx, Qy = self._issuer_point()
 
         # ---- witness: message + signature ----
         msg_vals = val("message", [0] * M)
         message = [cs.alloc(b) for b in msg_vals[:M]]
+        cs.mark_input(message, "message")
         mpb = cs.alloc(val("message_padded_bytes"))
+        cs.mark_input(mpb, "message_padded_bytes")
         sig = {}
         for part in ("signature_r", "signature_s"):
             limbs = val(part, [0] * nn.K)
             sig[part] = [cs.alloc(x) for x in limbs[: nn.K]]
+            cs.mark_input(sig[part], part)
             for v in sig[part]:
                 cs.decompose_bits(v, nn.LIMB)
 
@@ -599,7 +615,7 @@ class MDLFrontend(_MDLIOBase):
             cs.assert_equal(pub[f"pubkey_y[{i}]"], LC.of(qy_limbs[i]))
 
         # ---- SHA-256(message) -> 43-bit msghash limbs (template:20-46) ----
-        nb = cs.alloc(cs.value(mpb) // 64)
+        nb = cs.alloc_shr(mpb, 6)
         cs.assert_equal(LC.of(nb, 64), LC.of(mpb))
         digest = sha256_var_gadget(cs, message, nb)
         # little-endian bit stream of the big-endian digest integer
@@ -619,7 +635,9 @@ class MDLFrontend(_MDLIOBase):
 
         # ---- validUntil (template:66-130) ----
         vl = cs.alloc(val("valid_until_prefix_l"))
+        cs.mark_input(vl, "valid_until_prefix_l")
         vr = cs.alloc(val("valid_until_prefix_r"))
+        cs.mark_input(vr, "valid_until_prefix_r")
         p_ind, _, _ = jc.interval_indicator(cs, vl, vr, M)
         jc.match_substring(cs, message, list(VALID_UNTIL_PREFIX), p_ind, vl, vr, 13)
         ts_l = cs.add_const_mul(LC.of(vl) + LC.of(len(VALID_UNTIL_PREFIX)))
@@ -644,8 +662,11 @@ class MDLFrontend(_MDLIOBase):
         # ---- device key extraction (template:132-186) ----
         if config.get("device_bound", False):
             dl = cs.alloc(val("device_key_x_prefix_l"))
+            cs.mark_input(dl, "device_key_x_prefix_l")
             dr = cs.alloc(val("device_key_x_prefix_r"))
+            cs.mark_input(dr, "device_key_x_prefix_r")
             dkx = [cs.alloc(b) for b in val("device_key_x", [0] * 32)[:32]]
+            cs.mark_input(dkx, "device_key_x")
             full_r = cs.add_const_mul(LC.of(dr) + LC.of(32))
             dk_ind, _, _ = jc.interval_indicator(cs, dl, full_r, M)
             jc.match_substring(
@@ -666,9 +687,12 @@ class MDLFrontend(_MDLIOBase):
             typ = entry["type"]
             mcbl = int(entry.get("max_claim_byte_len", 31))
             pre = [cs.alloc(b) for b in val(f"{name}_preimage", [0] * PREIMAGE_LEN)[:PREIMAGE_LEN]]
+            cs.mark_input(pre, f"{name}_preimage")
             idv = cs.alloc(val(f"{name}_id"))
+            cs.mark_input(idv, f"{name}_id")
             ident = list(cbor.encode(name))
             il = cs.alloc(val(f"{name}_identifier_l"))
+            cs.mark_input(il, f"{name}_identifier_l")
             ir = cs.add_const_mul(LC.of(il) + LC.of(len(ident)))
             i_ind, _, _ = jc.interval_indicator(cs, il, ir, PREIMAGE_LEN)
             jc.match_substring(cs, pre, ident, i_ind, il, ir, 31)
@@ -678,7 +702,9 @@ class MDLFrontend(_MDLIOBase):
             dig_bytes = [cs.bits_to_num(bb) for bb in pre_digest]
             encoded = [idv, 0x58, 0x20] + dig_bytes
             el = cs.alloc(val(f"{name}_encoded_l"))
+            cs.mark_input(el, f"{name}_encoded_l")
             er = cs.alloc(val(f"{name}_encoded_r"))
+            cs.mark_input(er, f"{name}_encoded_r")
             cs.assert_equal(LC.of(er), LC.of(el) + LC.of(DIGEST_ENC_LEN))
             e_ind, _, _ = jc.interval_indicator(cs, el, er, M)
             jc.match_substring(cs, message, encoded, e_ind, el, er, 31)
@@ -693,7 +719,9 @@ class MDLFrontend(_MDLIOBase):
             # none ("FIXME: add support for numbers?", prepare_mdl_setup.py).
             if entry.get("reveal_digest", False):
                 l = cs.alloc(val(f"{name}_value_l"))
+                cs.mark_input(l, f"{name}_value_l")
                 r = cs.alloc(val(f"{name}_value_r"))
+                cs.mark_input(r, f"{name}_value_r")
                 dg = jc.hash_reveal_claim_value(cs, pre, l, r, mcbl, typ in ("number", "integer"))
                 cs.assert_equal(pub[f"{name}_digest"], dg)
             elif typ == "date":
@@ -716,7 +744,9 @@ class MDLFrontend(_MDLIOBase):
                 )
             else:  # revealed string
                 l = cs.alloc(val(f"{name}_value_l"))
+                cs.mark_input(l, f"{name}_value_l")
                 r = cs.alloc(val(f"{name}_value_r"))
+                cs.mark_input(r, f"{name}_value_r")
                 v = jc.reveal_claim_value(cs, pre, l, r, mcbl, False)
                 cs.assert_equal(pub[f"{name}_value"], v)
         return cs

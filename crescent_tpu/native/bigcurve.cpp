@@ -1763,6 +1763,79 @@ struct Eval {
 
 }  // namespace wp
 
+
+// signed big accumulator helpers for the NN (non-native limb) hint ops
+static void big_divmod_barrett(u64 *q, int nq, u64 *r, int nr,
+                               const u64 *x, int nx, const u64 *m, int nm,
+                               const u64 *mu, int nmu, int S) {
+    // q = floor(x/m) via q_hat = (x*mu) >> S with correction; r = x - q*m
+    std::vector<u64> xmu((size_t)nx + nmu + 1, 0);
+    wp::big_mul(xmu.data(), x, nx, mu, nmu);
+    std::vector<u64> qq(nx + 2, 0);
+    {
+        int sw = S / 64, sb = S % 64;
+        int tot = nx + nmu + 1;
+        for (int i = 0; i < nx + 2; ++i) {
+            u64 lo = (sw + i < tot) ? xmu[sw + i] : 0;
+            u64 hi = (sw + i + 1 < tot) ? xmu[sw + i + 1] : 0;
+            qq[i] = sb ? ((lo >> sb) | (hi << (64 - sb))) : lo;
+        }
+    }
+    std::vector<u64> qn((size_t)nx + nm + 3, 0);
+    wp::big_mul(qn.data(), qq.data(), nx + 2, m, nm);
+    std::vector<u64> rr(x, x + nx);
+    rr.resize(nx + 2, 0);
+    if (wp::big_cmp(qn.data(), nx + nm + 3, rr.data(), (int)rr.size()) > 0) {
+        // q_hat overshot (should not happen with floor mu) — rebuild by
+        // decrementing until q*m <= x
+        for (;;) {
+            for (int i = 0; i < nx + 2; ++i) { if (qq[i]--) break; }
+            std::fill(qn.begin(), qn.end(), 0);
+            wp::big_mul(qn.data(), qq.data(), nx + 2, m, nm);
+            if (wp::big_cmp(qn.data(), nx + nm + 3, rr.data(), (int)rr.size()) <= 0)
+                break;
+        }
+    }
+    wp::big_sub(rr.data(), (int)rr.size(), qn.data(), (int)rr.size());
+    int guard = 0;
+    while (wp::big_cmp(rr.data(), (int)rr.size(), m, nm) >= 0) {
+        wp::big_sub(rr.data(), (int)rr.size(), m, nm);
+        for (int i = 0; i < nx + 2; ++i) { if (++qq[i]) break; }
+        if (++guard > 4) break;
+    }
+    for (int i = 0; i < nq; ++i) q[i] = (i < nx + 2) ? qq[i] : 0;
+    for (int i = 0; i < nr; ++i) r[i] = (i < (int)rr.size()) ? rr[i] : 0;
+}
+
+// modular inverse via Fermat (m prime, nm <= 4 words): out = a^(m-2) mod m
+static void big_modinv_prime(u64 *out, const u64 *a, const u64 *m, int nm,
+                             const u64 *mu, int nmu, int S) {
+    std::vector<u64> m2(m, m + nm);
+    // m - 2
+    u64 two[1] = {2};
+    wp::big_sub(m2.data(), nm, two, 1);
+    std::vector<u64> acc(nm, 0), base(a, a + nm), t(2 * nm + 2, 0),
+        red(nm + 2, 0), qs(2 * nm + 4, 0);
+    acc[0] = 1;
+    int bits = nm * 64;
+    for (int i = bits - 1; i >= 0; --i) {
+        // acc = acc^2 mod m
+        std::fill(t.begin(), t.end(), 0);
+        wp::big_mul(t.data(), acc.data(), nm, acc.data(), nm);
+        big_divmod_barrett(qs.data(), (int)qs.size(), red.data(), (int)red.size(),
+                           t.data(), 2 * nm, m, nm, mu, nmu, S);
+        std::copy(red.begin(), red.begin() + nm, acc.begin());
+        if ((m2[i / 64] >> (i % 64)) & 1) {
+            std::fill(t.begin(), t.end(), 0);
+            wp::big_mul(t.data(), acc.data(), nm, base.data(), nm);
+            big_divmod_barrett(qs.data(), (int)qs.size(), red.data(), (int)red.size(),
+                               t.data(), 2 * nm, m, nm, mu, nmu, S);
+            std::copy(red.begin(), red.begin() + nm, acc.begin());
+        }
+    }
+    std::copy(acc.begin(), acc.begin() + nm, out);
+}
+
 extern "C" {
 
 // Returns 0 on success; negative codes identify the failing check.
@@ -2017,6 +2090,232 @@ int cn_witness_run(const u64 *mod, const u32 *code, size_t code_len,
                 fsub(f, T, A, T);
                 fmul(f, coeffs_mont + (size_t)invc * 4, T,
                      values + (size_t)out * 4);
+                break;
+            }
+            case 11:
+            case 12: {  // NN_RED / NN_QUOT
+                u32 limb_bits = code[pc], n_out = code[pc + 1];
+                u32 moff = code[pc + 2], nmw = code[pc + 3];
+                u32 muoff = code[pc + 4], muw = code[pc + 5], S = code[pc + 6];
+                u32 boff = code[pc + 7], bw = code[pc + 8];
+                u32 n_muls = code[pc + 9], n_lins = code[pc + 10];
+                bool want_quot = (kind == 12);
+                pc += 11;
+                const u32 *oidx = code + pc; pc += n_out;
+                const int WV = 12, WP = 26, WT = 32;
+                std::vector<u64> TOT(WT, 0);
+                bool tneg = false;
+                std::vector<u64> Av(WV), Bv(WV), Pv(WP), Sc(WP + 2);
+                auto eval_vec = [&](u32 kk, u64 *dst) {
+                    wp::big_zero(dst, WV);
+                    for (u32 li = 0; li < kk; ++li) {
+                        u32 nt = code[pc++];
+                        ev.terms(code + pc, nt, A); pc += 2 * nt;
+                        wp::big_add_shifted(dst, WV, A, 4,
+                                            (int)(limb_bits * li));
+                    }
+                };
+                auto add_signed = [&](const u64 *mag, int nmag, bool neg) {
+                    if (tneg == neg) {
+                        u128 c = 0;
+                        for (int i = 0; i < WT; ++i) {
+                            c += (u128)TOT[i] + (i < nmag ? mag[i] : 0);
+                            TOT[i] = (u64)c; c >>= 64;
+                        }
+                    } else if (wp::big_cmp(TOT.data(), WT, mag, nmag) >= 0) {
+                        wp::big_sub(TOT.data(), WT, mag, nmag);
+                    } else {
+                        std::vector<u64> t2(mag, mag + nmag);
+                        t2.resize(WT, 0);
+                        wp::big_sub(t2.data(), WT, TOT.data(), WT);
+                        TOT.assign(t2.begin(), t2.end());
+                        tneg = neg;
+                    }
+                    bool zero = true;
+                    for (int i = 0; i < WT; ++i) if (TOT[i]) { zero = false; break; }
+                    if (zero) tneg = false;
+                };
+                for (u32 mi = 0; mi < n_muls; ++mi) {
+                    u32 sgn = code[pc], smag = code[pc + 1];
+                    u32 ka = code[pc + 2], kb = code[pc + 3];
+                    pc += 4;
+                    eval_vec(ka, Av.data());
+                    eval_vec(kb, Bv.data());
+                    wp::big_zero(Pv.data(), WP);
+                    wp::big_mul(Pv.data(), Av.data(), WV, Bv.data(), WV);
+                    wp::big_zero(Sc.data(), WP + 2);
+                    { u128 c = 0;
+                      for (int i = 0; i < WP; ++i) {
+                          c += (u128)Pv[i] * smag;
+                          Sc[i] = (u64)c; c >>= 64;
+                      }
+                      Sc[WP] = (u64)c; }
+                    add_signed(Sc.data(), WP + 1, sgn == 0);
+                }
+                for (u32 li2 = 0; li2 < n_lins; ++li2) {
+                    u32 sgn = code[pc], smag = code[pc + 1], kc = code[pc + 2];
+                    pc += 3;
+                    eval_vec(kc, Av.data());
+                    wp::big_zero(Sc.data(), WP + 2);
+                    { u128 c = 0;
+                      for (int i = 0; i < WV; ++i) {
+                          c += (u128)Av[i] * smag;
+                          Sc[i] = (u64)c; c >>= 64;
+                      }
+                      Sc[WV] = (u64)c; }
+                    add_signed(Sc.data(), WV + 1, sgn == 0);
+                }
+                std::vector<u64> Q(WT + 2, 0), Rr(nmw + 2, 0);
+                big_divmod_barrett(Q.data(), (int)Q.size(), Rr.data(), (int)Rr.size(),
+                                   TOT.data(), WT, bigpool + moff, (int)nmw,
+                                   bigpool + muoff, (int)muw, (int)S);
+                std::vector<u64> OUTV(WT + 4, 0);
+                if (!want_quot) {
+                    if (tneg) {
+                        bool rz = true;
+                        for (int i = 0; i < (int)Rr.size(); ++i) if (Rr[i]) { rz = false; break; }
+                        if (!rz) {
+                            std::vector<u64> t2(bigpool + moff, bigpool + moff + nmw);
+                            t2.resize(Rr.size(), 0);
+                            wp::big_sub(t2.data(), (int)t2.size(), Rr.data(), (int)Rr.size());
+                            Rr = t2;
+                        }
+                    }
+                    std::copy(Rr.begin(), Rr.end(), OUTV.begin());
+                } else {
+                    // floor quotient: neg -> -(Q+1) if R != 0 else -Q; then + bias
+                    bool rz = true;
+                    for (int i = 0; i < (int)Rr.size(); ++i) if (Rr[i]) { rz = false; break; }
+                    std::vector<u64> B2(bigpool + boff, bigpool + boff + bw);
+                    B2.resize(WT + 4, 0);
+                    if (tneg) {
+                        if (!rz) { for (int i = 0; i < (int)Q.size(); ++i) if (++Q[i]) break; }
+                        wp::big_sub(B2.data(), (int)B2.size(), Q.data(), (int)Q.size());
+                    } else {
+                        u128 c = 0;
+                        for (int i = 0; i < (int)B2.size(); ++i) {
+                            c += (u128)B2[i] + (i < (int)Q.size() ? Q[i] : 0);
+                            B2[i] = (u64)c; c >>= 64;
+                        }
+                    }
+                    OUTV = B2;
+                }
+                for (u32 li3 = 0; li3 < n_out; ++li3) {
+                    u64 *dst = values + (size_t)oidx[li3] * 4;
+                    wp::big_zero(dst, 4);
+                    int top = (int)limb_bits;
+                    for (int w = 0; w < 4; ++w) {
+                        int lo = 64 * w;
+                        if (lo >= top) { dst[w] = 0; continue; }
+                        u64 v = wp::big_bits(OUTV.data(), (int)OUTV.size(),
+                                             (int)(limb_bits * li3) + lo, 64);
+                        if (top - lo < 64) v &= (((u64)1 << (top - lo)) - 1);
+                        dst[w] = v;
+                    }
+                }
+                break;
+            }
+            case 13: {  // NN_INV_MUL
+                u32 limb_bits = code[pc], n_out = code[pc + 1];
+                u32 moff = code[pc + 2], nmw = code[pc + 3];
+                u32 muoff = code[pc + 4], muw = code[pc + 5], S = code[pc + 6];
+                u32 n_nt = code[pc + 7], n_dt = code[pc + 8];
+                pc += 9;
+                const u32 *oidx = code + pc; pc += n_out;
+                const int WV = 12, WT = 16;
+                std::vector<u64> Av(WV);
+                auto eval_lin = [&](u32 nl, std::vector<u64> &MAG, bool &neg) {
+                    MAG.assign(WT, 0);
+                    neg = false;
+                    for (u32 i = 0; i < nl; ++i) {
+                        u32 sgn = code[pc], smag = code[pc + 1], kc = code[pc + 2];
+                        pc += 3;
+                        wp::big_zero(Av.data(), WV);
+                        for (u32 li = 0; li < kc; ++li) {
+                            u32 nt = code[pc++];
+                            ev.terms(code + pc, nt, A); pc += 2 * nt;
+                            wp::big_add_shifted(Av.data(), WV, A, 4,
+                                                (int)(limb_bits * li));
+                        }
+                        std::vector<u64> Sc(WV + 2, 0);
+                        { u128 c = 0;
+                          for (int w = 0; w < WV; ++w) {
+                              c += (u128)Av[w] * smag;
+                              Sc[w] = (u64)c; c >>= 64;
+                          }
+                          Sc[WV] = (u64)c; }
+                        bool sneg = (sgn == 0);
+                        if (neg == sneg) {
+                            u128 c = 0;
+                            for (int w = 0; w < WT; ++w) {
+                                c += (u128)MAG[w] + (w < WV + 1 ? Sc[w] : 0);
+                                MAG[w] = (u64)c; c >>= 64;
+                            }
+                        } else if (wp::big_cmp(MAG.data(), WT, Sc.data(), WV + 1) >= 0) {
+                            wp::big_sub(MAG.data(), WT, Sc.data(), WV + 1);
+                        } else {
+                            std::vector<u64> t2(Sc.begin(), Sc.begin() + WV + 1);
+                            t2.resize(WT, 0);
+                            wp::big_sub(t2.data(), WT, MAG.data(), WT);
+                            MAG.assign(t2.begin(), t2.end());
+                            neg = sneg;
+                        }
+                    }
+                };
+                std::vector<u64> NUM, DEN;
+                bool nneg, dneg;
+                eval_lin(n_nt, NUM, nneg);
+                eval_lin(n_dt, DEN, dneg);
+                auto reduce = [&](std::vector<u64> &MAG, bool neg,
+                                  std::vector<u64> &out) {
+                    std::vector<u64> Q(WT + 2, 0);
+                    out.assign(nmw + 2, 0);
+                    big_divmod_barrett(Q.data(), (int)Q.size(), out.data(),
+                                       (int)out.size(), MAG.data(), WT,
+                                       bigpool + moff, (int)nmw,
+                                       bigpool + muoff, (int)muw, (int)S);
+                    bool rz = true;
+                    for (auto w : out) if (w) { rz = false; break; }
+                    if (neg && !rz) {
+                        std::vector<u64> t2(bigpool + moff, bigpool + moff + nmw);
+                        t2.resize(out.size(), 0);
+                        wp::big_sub(t2.data(), (int)t2.size(), out.data(), (int)out.size());
+                        out = t2;
+                    }
+                };
+                std::vector<u64> num_r, den_r;
+                reduce(NUM, nneg, num_r);
+                reduce(DEN, dneg, den_r);
+                bool dz = true;
+                for (auto w : den_r) if (w) { dz = false; break; }
+                std::vector<u64> OUTV(nmw + 4, 0);
+                if (!dz) {
+                    std::vector<u64> invd(nmw, 0);
+                    big_modinv_prime(invd.data(), den_r.data(),
+                                     bigpool + moff, (int)nmw,
+                                     bigpool + muoff, (int)muw, (int)S);
+                    std::vector<u64> prod(2 * nmw + 4, 0), Q2(2 * nmw + 6, 0);
+                    wp::big_mul(prod.data(), num_r.data(), nmw, invd.data(), nmw);
+                    std::vector<u64> red(nmw + 2, 0);
+                    big_divmod_barrett(Q2.data(), (int)Q2.size(), red.data(),
+                                       (int)red.size(), prod.data(), 2 * nmw,
+                                       bigpool + moff, (int)nmw,
+                                       bigpool + muoff, (int)muw, (int)S);
+                    std::copy(red.begin(), red.end(), OUTV.begin());
+                }
+                for (u32 li3 = 0; li3 < n_out; ++li3) {
+                    u64 *dst = values + (size_t)oidx[li3] * 4;
+                    wp::big_zero(dst, 4);
+                    int top = (int)limb_bits;
+                    for (int w = 0; w < 4; ++w) {
+                        int lo = 64 * w;
+                        if (lo >= top) { dst[w] = 0; continue; }
+                        u64 v = wp::big_bits(OUTV.data(), (int)OUTV.size(),
+                                             (int)(limb_bits * li3) + lo, 64);
+                        if (top - lo < 64) v &= (((u64)1 << (top - lo)) - 1);
+                        dst[w] = v;
+                    }
+                }
                 break;
             }
             default:

@@ -292,6 +292,44 @@ class ConstraintSystem:
         self._hint("divmod", a_terms, b_terms, n_int, tuple(q_idx),
                    tuple(r_idx), limb_bits)
 
+    # -- non-native (limb-vector) hints: r1cs/p256.py emulated arithmetic ---
+    def _nn_terms(self, muls, lins):
+        """muls: [(s, a_limbs, b_limbs)], lins: [(t, c_limbs)] with limbs
+        Var/LC/int — serialize to term lists for replay."""
+        F = self.F
+        ms = [
+            (int(s), [LC.of(l).to_list(F) for l in a],
+             [LC.of(l).to_list(F) for l in b])
+            for s, a, b in muls
+        ]
+        ls = [(int(t), [LC.of(l).to_list(F) for l in c]) for t, c in lins]
+        return ms, ls
+
+    def hint_nn_red(self, muls, lins, m_int: int, out_idx: list[int],
+                    limb_bits: int):
+        """out limbs <- (sum s*A*B + sum t*C) mod m_int (exact signed
+        integer evaluation over limb vectors)."""
+        ms, ls = self._nn_terms(muls, lins)
+        self._hint("nn_red", ms, ls, m_int, tuple(out_idx), limb_bits)
+
+    def hint_nn_quot(self, muls, lins, m_int: int, bias: int,
+                     out_idx: list[int], limb_bits: int):
+        """out limbs <- (sum s*A*B + sum t*C) // m_int + bias (floor
+        division of the exact signed integer; bias makes it nonnegative)."""
+        ms, ls = self._nn_terms(muls, lins)
+        self._hint("nn_quot", ms, ls, m_int, int(bias), tuple(out_idx),
+                   limb_bits)
+
+    def hint_nn_inv_mul(self, num_lins, den_lins, m_int: int,
+                        out_idx: list[int], limb_bits: int):
+        """out limbs <- (NUM * DEN^-1) mod m_int with NUM/DEN signed linear
+        combinations of limb vectors ([(t, c_limbs)], exact integers);
+        DEN == 0 mod m maps to 0 (p256._inv0 semantics).  m_int prime."""
+        F = self.F
+        nt = [(int(t), [LC.of(l).to_list(F) for l in c]) for t, c in num_lins]
+        dt = [(int(t), [LC.of(l).to_list(F) for l in c]) for t, c in den_lins]
+        self._hint("nn_inv_mul", nt, dt, m_int, tuple(out_idx), limb_bits)
+
     # -- export -------------------------------------------------------------
     @property
     def num_instance(self) -> int:

@@ -67,6 +67,18 @@ def nn_alloc(cs: ConstraintSystem, value: int, k: int = K):
     return limbs, bits
 
 
+def nn_alloc_hinted(cs: ConstraintSystem, value: int, hint, k: int = K):
+    """Like nn_alloc, but the limb VALUES come from a witness-replay hint:
+    allocate limbs, record `hint(limb_indices)`, then range-check (the
+    decompose hints execute after the value hint — builder hint order)."""
+    limbs = [cs.alloc(v) for v in to_limbs(value, k)]
+    hint([v.idx for v in limbs])
+    bits = []
+    for var in limbs:
+        bits.extend(cs.decompose_bits(var, LIMB))
+    return limbs, bits
+
+
 def nn_enforce(cs: ConstraintSystem, muls: list, lins: list, m_int: int):
     """Enforce  sum s*(a*b) [muls: (s, a_limbs, b_limbs)]
               + sum t*c     [lins: (t, c_limbs)]  == 0 (mod m_int)
@@ -86,7 +98,11 @@ def nn_enforce(cs: ConstraintSystem, muls: list, lins: list, m_int: int):
     qv = total // m_int  # exact when total % m == 0; shape-only otherwise
     bias = 1 << (KQ * LIMB - 1)
     assert -bias < qv < bias, "nn_enforce quotient overflow"
-    qb, _ = nn_alloc(cs, qv + bias, KQ)
+    qb, _ = nn_alloc_hinted(
+        cs, qv + bias,
+        lambda idx: cs.hint_nn_quot(muls, lins, m_int, bias, idx, LIMB),
+        KQ,
+    )
 
     width = max(2 * K - 1, KQ + K)
     planes = [LC() for _ in range(width)]
@@ -112,28 +128,27 @@ def nn_enforce(cs: ConstraintSystem, muls: list, lins: list, m_int: int):
     carry_bits = LIMB + 13
     offset = 1 << (carry_bits - 1)
     shift = 1 << LIMB
-    carry_lc, carry_val = LC.of(0), 0
+    carry_lc = LC.of(0)
     for idx in range(width):
-        diff = cs.value(planes[idx])
-        diff = diff if diff <= R // 2 else diff - R  # signed interpretation
-        diff += carry_val
-        nxt = diff // shift if diff % shift == 0 else diff // shift  # shape-only tolerant
-        nc = cs.alloc((nxt + offset) % R)
+        diff_lc = planes[idx] + carry_lc
+        nc = cs.alloc_sshr_bias(diff_lc, LIMB, offset)
         cs.decompose_bits(nc, carry_bits)
         cs.enforce(
-            planes[idx] + carry_lc - LC.of(nc, shift) + LC.of(offset * shift),
+            diff_lc - LC.of(nc, shift) + LC.of(offset * shift),
             LC.of(1),
             LC.of(0),
         )
         carry_lc = LC.of(nc) - LC.of(offset)
-        carry_val = nxt
     cs.enforce(carry_lc, LC.of(1), LC.of(0))
 
 
 def nn_mul(cs: ConstraintSystem, a: list, b: list, m_int: int):
     """r = a*b mod m_int; returns (limbs, bits) of r (canonical witness)."""
     rv = (limbs_value(cs, a) * limbs_value(cs, b)) % m_int
-    r, bits = nn_alloc(cs, rv)
+    r, bits = nn_alloc_hinted(
+        cs, rv,
+        lambda idx: cs.hint_nn_red([(1, a, b)], [], m_int, idx, LIMB),
+    )
     nn_enforce(cs, [(1, a, b)], [(-1, r)], m_int)
     return r, bits
 
@@ -160,9 +175,24 @@ def add_unequal(cs: ConstraintSystem, p1, p2):
     lamv = (y2v - y1v) * _inv0(x2v - x1v, P) % P
     x3v = (lamv * lamv - x1v - x2v) % P
     y3v = (lamv * (x1v - x3v) - y1v) % P
-    lam, _ = nn_alloc(cs, lamv)
-    x3, _ = nn_alloc(cs, x3v)
-    y3, _ = nn_alloc(cs, y3v)
+    lam, _ = nn_alloc_hinted(
+        cs, lamv,
+        lambda idx: cs.hint_nn_inv_mul(
+            [(1, y2), (-1, y1)], [(1, x2), (-1, x1)], P, idx, LIMB
+        ),
+    )
+    x3, _ = nn_alloc_hinted(
+        cs, x3v,
+        lambda idx: cs.hint_nn_red(
+            [(1, lam, lam)], [(-1, x1), (-1, x2)], P, idx, LIMB
+        ),
+    )
+    y3, _ = nn_alloc_hinted(
+        cs, y3v,
+        lambda idx: cs.hint_nn_red(
+            [(1, lam, x1), (-1, lam, x3)], [(-1, y1)], P, idx, LIMB
+        ),
+    )
     nn_enforce(cs, [(1, lam, x2), (-1, lam, x1)], [(-1, y2), (1, y1)], P)
     nn_enforce(cs, [(1, lam, lam)], [(-1, x1), (-1, x2), (-1, x3)], P)
     nn_enforce(cs, [(1, lam, x1), (-1, lam, x3)], [(-1, y1), (-1, y3)], P)
@@ -246,7 +276,13 @@ def fixed_base_mul(cs: ConstraintSystem, scalar_bits: list, base):
     has_prev = None
     for i in range(NSTRIDES):
         b8 = bits[i * STRIDE : (i + 1) * STRIDE]
-        onehot = _onehot256(cs, [bi if isinstance(bi, Var) else cs.alloc_bool(0) for bi in b8])
+        # constant-0 padding bits materialize via add_const_mul (solvable
+        # during witness replay, unlike a bare hint-less alloc_bool)
+        onehot = _onehot256(
+            cs,
+            [bi if isinstance(bi, Var) else cs.add_const_mul(LC.of(0))
+             for bi in b8],
+        )
         iszero = onehot[0]
         sel = mux(onehot, tables[i])
         if partial is None:
@@ -279,8 +315,11 @@ def ecdsa_verify_gadget(cs: ConstraintSystem, r, s, msghash, pubkey):
     ecdsa.circom ECDSAVerifyNoPubkeyCheck:128-226, with both scalar
     multiplications fixed-base (issuer-key-specialized circuit)."""
     sv = limbs_value(cs, s)
-    sinv, _ = nn_alloc(cs, _inv0(sv, Q))
     one = to_limbs(1)
+    sinv, _ = nn_alloc_hinted(
+        cs, _inv0(sv, Q),
+        lambda idx: cs.hint_nn_inv_mul([(1, one)], [(1, s)], Q, idx, LIMB),
+    )
     nn_enforce(cs, [(1, s, sinv)], [(-1, one)], Q)
 
     u1, u1_bits = nn_mul(cs, sinv, msghash, Q)

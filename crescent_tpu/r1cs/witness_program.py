@@ -42,6 +42,9 @@ OP_NEGMOD = 7      # out = (-eval(terms)) mod 2^k
 OP_SSHR_BIAS = 8   # out = (signed(eval) >> k) + bias
 OP_DIVMOD = 9      # bigint (A*B) divmod n -> q/r limbs
 OP_SOLVE_AB = 10   # single unknown in A or B row: needs runtime inversion
+OP_NN_RED = 11     # (sum s*A*B + sum t*C) mod m -> out limbs
+OP_NN_QUOT = 12    # (sum s*A*B + sum t*C) // m + bias -> out limbs
+OP_NN_INV_MUL = 13 # (NUM * DEN^-1) mod m -> out limbs (0 if DEN == 0)
 
 
 class CompileError(Exception):
@@ -153,6 +156,47 @@ class WitnessProgram:
                 denom = ev(other)
                 t = ev(C) * pow(denom, -1, F) - ev(Rrest)
                 vals[out] = t * invc % F
+            elif kind in (OP_NN_RED, OP_NN_QUOT):
+                if kind == OP_NN_RED:
+                    _, muls, lins, m_int, out_idx, limb_bits = op
+                    bias = None
+                else:
+                    _, muls, lins, m_int, bias, out_idx, limb_bits = op
+
+                def nn_val(limb_terms):
+                    v = 0
+                    for li, t in enumerate(limb_terms):
+                        v |= ev(t) << (limb_bits * li)
+                    return v
+
+                total = 0
+                for s, a, b in muls:
+                    total += s * nn_val(a) * nn_val(b)
+                for t, c in lins:
+                    total += t * nn_val(c)
+                out_v = total % m_int if bias is None else total // m_int + bias
+                mask = (1 << limb_bits) - 1
+                for li, o in enumerate(out_idx):
+                    vals[o] = (out_v >> (limb_bits * li)) & mask
+            elif kind == OP_NN_INV_MUL:
+                _, nt, dt, m_int, out_idx, limb_bits = op
+
+                def nn_lin(lins):
+                    total = 0
+                    for t, c in lins:
+                        v = 0
+                        for li, tt in enumerate(c):
+                            v |= ev(tt) << (limb_bits * li)
+                        total += t * v
+                    return total
+
+                den = nn_lin(dt) % m_int
+                out_v = (
+                    nn_lin(nt) * pow(den, -1, m_int) % m_int if den else 0
+                )
+                mask = (1 << limb_bits) - 1
+                for li, o in enumerate(out_idx):
+                    vals[o] = (out_v >> (limb_bits * li)) & mask
             else:
                 raise CompileError(f"unknown op kind {kind}")
         return vals
@@ -264,6 +308,62 @@ class WitnessProgram:
                 terms_at(Rrest)
                 terms_at(other)
                 terms_at(C)
+            elif kind in (OP_NN_RED, OP_NN_QUOT):
+                if kind == OP_NN_RED:
+                    _, muls, lins, m_int, out_idx, limb_bits = op
+                    bias = 0
+                else:
+                    _, muls, lins, m_int, bias, out_idx, limb_bits = op
+                nw = -(-m_int.bit_length() // 64)
+                moff = pool_put(m_int, nw)
+                # Barrett shift sized to the max |total| bit-length:
+                # sum of k^2 products of limb_bits-bit limb vectors
+                kmax = max(
+                    [len(a) for _s, a, _b in muls]
+                    + [len(c) for _t, c in lins] + [1]
+                )
+                S = 2 * limb_bits * kmax + 64
+                mu = (1 << S) // m_int
+                muw = -(-mu.bit_length() // 64)
+                muoff = pool_put(mu, muw)
+                bw = max(1, -(-int(bias).bit_length() // 64))
+                boff = pool_put(int(bias), bw)
+                code += [11 if kind == OP_NN_RED else 12, limb_bits,
+                         len(out_idx), moff, nw, muoff, muw, S, boff, bw,
+                         len(muls), len(lins)]
+                code += list(out_idx)
+                for s, a, b in muls:
+                    code += [1 if s >= 0 else 0, abs(s), len(a), len(b)]
+                    for t in a:
+                        terms(t)
+                    for t in b:
+                        terms(t)
+                for t_c, c in lins:
+                    code += [1 if t_c >= 0 else 0, abs(t_c), len(c)]
+                    for t in c:
+                        terms(t)
+            elif kind == OP_NN_INV_MUL:
+                _, nt, dt, m_int, out_idx, limb_bits = op
+                nw = -(-m_int.bit_length() // 64)
+                moff = pool_put(m_int, nw)
+                kmax = max(
+                    [len(c) for _t, c in nt] + [len(c) for _t, c in dt] + [1]
+                )
+                S = 2 * max(limb_bits * kmax, m_int.bit_length()) + 64
+                mu = (1 << S) // m_int
+                muw = -(-mu.bit_length() // 64)
+                muoff = pool_put(mu, muw)
+                code += [13, limb_bits, len(out_idx), moff, nw, muoff, muw,
+                         S, len(nt), len(dt)]
+                code += list(out_idx)
+                for t_c, c in nt:
+                    code += [1 if t_c >= 0 else 0, abs(t_c), len(c)]
+                    for t in c:
+                        terms(t)
+                for t_c, c in dt:
+                    code += [1 if t_c >= 0 else 0, abs(t_c), len(c)]
+                    for t in c:
+                        terms(t)
             else:
                 raise CompileError(f"cannot serialize op kind {kind}")
 
@@ -373,6 +473,39 @@ def compile_witness_program(r1cs, hints=None, input_wires=None) -> WitnessProgra
             ops.append((OP_DIVMOD, a_terms, b_terms, n_int,
                         list(q_idx), list(r_idx), limb_bits))
             for i in list(q_idx) + list(r_idx):
+                known[i] = 1
+        elif kind in ("nn_red", "nn_quot"):
+            if kind == "nn_red":
+                muls, lins, m_int, out_idx, limb_bits = payload
+            else:
+                muls, lins, m_int, bias, out_idx, limb_bits = payload
+            for _s, a, b in muls:
+                for t in a:
+                    require_known(t, f"{kind} hint mul a")
+                for t in b:
+                    require_known(t, f"{kind} hint mul b")
+            for _t, c in lins:
+                for t in c:
+                    require_known(t, f"{kind} hint lin")
+            if kind == "nn_red":
+                ops.append((OP_NN_RED, muls, lins, m_int, list(out_idx),
+                            limb_bits))
+            else:
+                ops.append((OP_NN_QUOT, muls, lins, m_int, bias,
+                            list(out_idx), limb_bits))
+            for i in out_idx:
+                known[i] = 1
+        elif kind == "nn_inv_mul":
+            nt, dt, m_int, out_idx, limb_bits = payload
+            for _t, c in nt:
+                for t in c:
+                    require_known(t, "nn_inv_mul num")
+            for _t, c in dt:
+                for t in c:
+                    require_known(t, "nn_inv_mul den")
+            ops.append((OP_NN_INV_MUL, nt, dt, m_int, list(out_idx),
+                        limb_bits))
+            for i in out_idx:
                 known[i] = 1
         else:
             raise CompileError(f"unknown hint kind {kind}")

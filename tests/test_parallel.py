@@ -7,9 +7,11 @@ sizes are the budget ceiling for the suite; the driver's dryrun exercises
 the same programs at 2^13/2^18 (CRESCENT_DRYRUN_BIG).
 """
 
+import os
 import random
 
 import jax
+import pytest
 
 from crescent_tpu.core import curves
 from crescent_tpu.core.fields import BN254_FR
@@ -127,3 +129,39 @@ def test_sharded_prove_uses_sharded_ntt(monkeypatch):
     pvk = pk.vk.prepare()
     assert groth16.verify(pvk, proof, z[1 : r1cs.num_instance])
     groth16._SHARDED_CACHE = None
+
+
+@pytest.mark.skipif(
+    os.environ.get("CRESCENT_SLOW_TESTS", "0") != "1",
+    reason="XLA:CPU compile of the full affine pipeline takes ~30+ min "
+           "(unrolled mont graphs); run explicitly with CRESCENT_SLOW_TESTS=1 "
+           "(recorded green in MULTICHIP_AFFINE_r05.json)",
+)
+def test_sharded_affine_msm_matches_host(monkeypatch):
+    """The segmented-affine pipeline under shard_map (PERF queue #6): per
+    -shard sort/reduce, all_gather of dense bucket tables, replicated
+    aggregate.  On the CPU mesh the pipeline runs through the XLA-only
+    pec adapter (ops/xla_pec.py) — same math as the TPU pallas kernels."""
+    from crescent_tpu.native import backend as nb
+    from crescent_tpu.parallel.sharded_msm import ShardedMSM, make_mesh
+
+    monkeypatch.setenv("CRESCENT_SHARDED_AFFINE", "1")
+    curve = curves.BN254_G1
+    mesh = make_mesh(8)
+    n = 1 << 9
+    base = curve.generator
+    pts, p = [], base
+    for _ in range(n):
+        pts.append(p)
+        p = curve.add(p, base) if rng.random() < 0.5 else curve.double(p)
+    ks = [rng.randrange(curve.n) for _ in range(n)]
+    ks[3] = 0
+    pts[2] = None
+    m = ShardedMSM(curve, mesh, affine_c=6)
+    assert m._affine_msm() is not None, "affine path should be active"
+    got = m.run_host(ks, pts)
+    if nb.available():
+        want = nb.msm("bn254_g1", ks, pts)
+    else:
+        want = curve.msm(ks, pts)
+    assert got == want
