@@ -118,6 +118,11 @@ def u64_to_ints(a: np.ndarray) -> list[int]:
 
 def points_to_u64(points) -> np.ndarray:
     """Affine tuples/None -> (n, 8) uint64 (x,y LE; identity = zeros)."""
+    from ..utils.pointvec import ArrayPointVec
+
+    if isinstance(points, ArrayPointVec):
+        assert not points.g2
+        return points.to_u64()
     out = np.zeros((len(points), 8), dtype="<u8")
     buf = bytearray()
     for p in points:
@@ -139,6 +144,11 @@ def u64_to_points(a: np.ndarray) -> list:
 
 def g2_to_u64(points) -> np.ndarray:
     """G2 affine ((Fq2, Fq2) or None) -> (n, 16) uint64."""
+    from ..utils.pointvec import ArrayPointVec
+
+    if isinstance(points, ArrayPointVec):
+        assert points.g2
+        return points.to_u64()
     buf = bytearray()
     for p in points:
         if p is None:

@@ -62,6 +62,30 @@ class CurveCtx:
     def points_to_device(self, pts) -> JPoints:
         """Affine host points [(x,y) | None, ...] -> batched Jacobian arrays."""
         f = self.fctx
+        from ..utils.pointvec import ArrayPointVec
+
+        if isinstance(pts, ArrayPointVec):
+            # array fast path: limbs are already the wire format — upload
+            # u16 planes, Montgomery-convert per base-field component on
+            # device, build Z from the infinity mask (no per-point Python)
+            from . import limb as limb_mod
+
+            n = len(pts)
+            base = getattr(f, "base", f)
+            es = f.elem_shape
+            dx = base.to_mont(
+                limb_mod.upload_limbs(pts.xs).reshape((n,) + es)
+            )
+            dy = base.to_mont(
+                limb_mod.upload_limbs(pts.ys).reshape((n,) + es)
+            )
+            v = jnp.asarray(~pts.inf).astype(jnp.uint32)
+            one = jnp.asarray(f.to_mont_host([f.host_one])[0])
+            vb = v.reshape((n,) + (1,) * len(es))
+            dz = jnp.where(
+                vb != 0, jnp.broadcast_to(one, dx.shape), jnp.uint32(0)
+            )
+            return JPoints(dx, dy, dz)
         if not hasattr(f, "base") and jax.default_backend() == "tpu":
             # TPU fast path: ship standard-form u16 limb planes (half the
             # tunnel bytes, no host bigint mulmods) and Montgomery-convert

@@ -27,6 +27,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.curves import Curve
 from . import limb
@@ -526,8 +527,15 @@ class MSM:
     # -- host convenience ---------------------------------------------------
     def run_host(self, scalars: list[int], points: list):
         """Host scalars/affine points -> host affine result (any curve ctx)."""
+        from ..utils.pointvec import ArrayPointVec
+
         P = self.ctx.points_to_device(points)
-        valid = jnp.asarray([0 if p is None else 1 for p in points], dtype=U32)
+        if isinstance(points, ArrayPointVec):
+            valid = jnp.asarray((~points.inf).astype(np.uint32))
+        else:
+            valid = jnp.asarray(
+                [0 if p is None else 1 for p in points], dtype=U32
+            )
         sc = jnp.asarray(limb.ints_to_limbs([s % self.ctx.n for s in scalars]))
         res = self.run_device(P.x, P.y, valid, sc)
         return self.ctx.points_to_host(

@@ -140,6 +140,19 @@ class Reader:
         n = self.u64()
         return [item() for _ in range(n)]
 
+    def point_vec(self, g2: bool = False):
+        """Bulk Vec<GAffine> (uncompressed, unchecked — same semantics as
+        vec(g1|g2)) into an ArrayPointVec: one numpy reinterpretation
+        instead of 2N int.from_bytes + N tuple allocations."""
+        from .pointvec import ArrayPointVec
+
+        n = self.u64()
+        v, nread = ArrayPointVec.deser_uncompressed(
+            self.buf[self.pos :], n, g2=g2
+        )
+        self.pos += nread
+        return v
+
     def option(self, item: Callable):
         return item() if self.boolean() else None
 
@@ -176,6 +189,16 @@ def ser_option(v, item: Callable) -> bytes:
 
 
 def ser_list(xs, item: Callable) -> bytes:
+    from .pointvec import ArrayPointVec
+
+    if isinstance(xs, ArrayPointVec) and item in (
+        ser_g1_uncompressed,
+        ser_g2_uncompressed,
+    ):
+        # vectorized path: byte-identical to mapping `item` over the items
+        # (tests/test_ark_serialize.py), without 2N int.to_bytes calls
+        assert xs.g2 == (item is ser_g2_uncompressed)
+        return ser_u64(len(xs)) + xs.ser_items_uncompressed()
     return ser_u64(len(xs)) + b"".join(item(x) for x in xs)
 
 
@@ -417,11 +440,11 @@ def deser_proving_key(r: Reader):
         vk=deser_vk(r),
         beta_g1=r.g1(),
         delta_g1=r.g1(),
-        a_query=r.vec(r.g1),
-        b_g1_query=r.vec(r.g1),
-        b_g2_query=r.vec(r.g2),
-        h_query=r.vec(r.g1),
-        l_query=r.vec(r.g1),
+        a_query=r.point_vec(),
+        b_g1_query=r.point_vec(),
+        b_g2_query=r.point_vec(g2=True),
+        h_query=r.point_vec(),
+        l_query=r.point_vec(),
     )
 
 
