@@ -37,7 +37,7 @@ from ..core.fields import Fr
 from ..core import pairing as pr
 from ..ops import limb, ntt
 from ..ops.ec import JPoints, get_curve_ctx, get_g2_ctx
-from ..ops.limb import U32
+from ..ops.limb import NLIMB, U32
 from ..ops.msm import MSM, get_g2_msm, get_msm
 from ..native import backend as nb
 from ..utils.trace import timed
@@ -444,6 +444,111 @@ def fixed_base_mul(base, scalars: list[int], g2: bool = False) -> list:
     return ctx.points_to_host(ctx.scalar_mul(kl, P))[:n]
 
 
+def _setup_device_enabled() -> bool:
+    """Route the SRS fixed-base batches through the TPU gather/madd pipeline
+    (ops/fixed_base.py).  'auto'/'1' = on TPU backends, '0' = never,
+    'force' = any backend (tests exercise the exact program on CPU XLA)."""
+    v = os.environ.get("CRESCENT_SETUP_TPU", "auto")
+    if v == "0":
+        return False
+    if v == "force":
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def _qap_evals_at_t_u64(r1cs: R1CS, dom: ntt.NTTDomain, t: int):
+    """Native-array variant of _qap_evals_at_t: (A, B, C) as (nv, 4) u64
+    standard-form arrays (no Python-int materialization — feeds the device
+    fixed-base scalar planes directly)."""
+    assert _native_ok()
+    nv = r1cs.num_vars
+    nc = len(r1cs.constraints)
+    zt = (pow(t, dom.n, R) - 1) % R
+    factor = zt * pow(dom.n, -1, R) % R
+    L = nb.lagrange_at(R, dom.w, t, factor, dom.n)
+    outs = []
+    for rows, cols, coeffs in _r1cs_coo(r1cs):
+        outs.append(nb.coo_matvec(R, cols, rows, coeffs, L, nv))
+    A, B, C = outs
+    ninst = r1cs.num_instance
+    # libsnark identity rows for instance variables (tiny: ninst elements)
+    Ai = nb.u64_to_ints(A[:ninst])
+    Lt = nb.u64_to_ints(L[nc : nc + ninst])
+    A[:ninst] = nb.ints_to_u64([(a + l) % R for a, l in zip(Ai, Lt)])
+    return A, B, C
+
+
+def _setup_scalar_planes(A, B, C, ninst: int, alpha: int, beta: int, d_inv: int):
+    """Device linear combination (beta*A + alpha*B + C) over all variables
+    and its delta^-1-scaled witness tail — the generator's scalar prep
+    (generator.rs) without per-element Python bigints.  Returns
+    (gamma_abc (ninst,16), l_scalars (nv-ninst,16)) u16 standard-form."""
+    fr = get_curve_ctx(G1).fr
+    Au = limb.upload_limbs(limb.u64_to_limbs(A))
+    Bu = limb.upload_limbs(limb.u64_to_limbs(B))
+    Cu = limb.upload_limbs(limb.u64_to_limbs(C))
+    cb = jnp.asarray(fr.to_mont_host([beta])[0])
+    ca = jnp.asarray(fr.to_mont_host([alpha])[0])
+    cd = jnp.asarray(fr.to_mont_host([d_inv])[0])
+
+    @jax.jit
+    def lin(Au, Bu, Cu):
+        lc = fr.add_mod(
+            fr.add_mod(
+                fr.mont_mul(Au, jnp.broadcast_to(cb, Au.shape)),
+                fr.mont_mul(Bu, jnp.broadcast_to(ca, Bu.shape)),
+            ),
+            Cu,
+        )
+        l = fr.mont_mul(
+            lc[ninst:], jnp.broadcast_to(cd, (lc.shape[0] - ninst, NLIMB))
+        )
+        return lc[:ninst].astype(jnp.uint16), l.astype(jnp.uint16)
+
+    abc, l = lin(Au, Bu, Cu)
+    return np.asarray(jax.device_get(abc)), np.asarray(jax.device_get(l))
+
+
+def _setup_fixed_base_device(r1cs, dom, alpha, beta, delta, t):
+    """Both SRS fixed-base batches on the device pipeline; returns
+    (g1_all, g2_all) ArrayPointVecs ordered exactly like the host path's
+    concatenated scalar lists in setup()."""
+    from ..ops.fixed_base import FixedBaseMSM
+
+    ninst = r1cs.num_instance
+    nv = r1cs.num_vars
+    zt = (pow(t, dom.n, R) - 1) % R
+    d_inv = pow(delta, -1, R)
+    with timed("Groth16::setup qap_evals_at_t (native, arrays)"):
+        A, B, C = _qap_evals_at_t_u64(r1cs, dom, t)
+    with timed("Groth16::setup scalar prep (device)"):
+        abc16, l16 = _setup_scalar_planes(A, B, C, ninst, alpha, beta, d_inv)
+        h_u64 = nb.powers(R, t, zt * d_inv % R, dom.n - 1)
+        A16 = limb.u64_to_limbs(A)
+        B16 = limb.u64_to_limbs(B)
+        h16s = limb.u64_to_limbs(h_u64)
+        tail16 = limb.ints_to_limbs([alpha, beta, delta]).astype(np.uint16)
+        sc_g1 = np.concatenate(
+            [A16, B16, h16s, l16, abc16, tail16], axis=0
+        )
+        sc_g2 = np.concatenate(
+            [B16, limb.ints_to_limbs([beta, 1, delta]).astype(np.uint16)],
+            axis=0,
+        )
+    ctx1 = get_curve_ctx(G1)
+    ctx2 = get_g2_ctx()
+    fb1 = FixedBaseMSM(ctx1)
+    fb2 = FixedBaseMSM(ctx2)
+    with timed(f"Groth16::setup fixed-base G1 device ({sc_g1.shape[0]} pts)"):
+        t1 = fixed_base_mul(G1.generator, fb1.table_scalars())
+        g1_all = fb1.run(t1, sc_g1)
+    with timed(f"Groth16::setup fixed-base G2 device ({sc_g2.shape[0]} pts)"):
+        t2 = fixed_base_mul(G2.generator(), fb2.table_scalars(), g2=True)
+        g2_all = fb2.run(t2, sc_g2)
+    assert nv + nv + (dom.n - 1) + (nv - ninst) + ninst + 3 == len(g1_all)
+    return g1_all, g2_all
+
+
 # ---------------------------------------------------------------------------
 # Setup / Prove / Verify
 # ---------------------------------------------------------------------------
@@ -457,9 +562,38 @@ def setup(r1cs: R1CS, rng: random.Random) -> ProvingKey:
     alpha, beta, delta, t = (rng.randrange(1, R) for _ in range(4))
     gamma = 1
     dom = _domain_for(r1cs)
+    ninst = r1cs.num_instance
+    nv = r1cs.num_vars
+    if (
+        _setup_device_enabled()
+        and _native_ok()
+        and 3 * nv + dom.n
+        >= int(os.environ.get("CRESCENT_SETUP_TPU_MIN", str(1 << 14)))
+    ):
+        # QAP-scale SRS: both fixed-base batches on the device pipeline,
+        # results stay in array form end-to-end (ArrayPointVec tables
+        # serialize as byte views — no Python-int materialization)
+        g1_all, g2_all = _setup_fixed_base_device(
+            r1cs, dom, alpha, beta, delta, t
+        )
+        nh = dom.n - 1
+        a_query = g1_all[:nv]
+        b_g1_query = g1_all[nv : 2 * nv]
+        h_query = g1_all[2 * nv : 2 * nv + nh]
+        l_query = g1_all[2 * nv + nh : 2 * nv + nh + (nv - ninst)]
+        gamma_abc_g1 = g1_all[2 * nv + nh + (nv - ninst) : -3].to_list()
+        alpha_g1, beta_g1, delta_g1 = (g1_all[i] for i in range(-3, 0))
+        b_g2_query = g2_all[:nv]
+        beta_g2, gamma_g2, delta_g2 = (g2_all[i] for i in range(-3, 0))
+        vk = VerifyingKey(
+            alpha_g1, beta_g2, gamma_g2, delta_g1, delta_g2, gamma_abc_g1
+        )
+        return ProvingKey(
+            vk, beta_g1, delta_g1, a_query, b_g1_query, b_g2_query,
+            h_query, l_query,
+        )
     with timed("Groth16::setup qap_evals_at_t"):
         A, B, C = _qap_evals_at_t(r1cs, dom, t)
-    ninst = r1cs.num_instance
     zt = (pow(t, dom.n, R) - 1) % R
     g_inv = pow(gamma, -1, R)
     d_inv = pow(delta, -1, R)

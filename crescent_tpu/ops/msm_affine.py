@@ -72,6 +72,38 @@ def _gather_blocks(a, starts, width: int):
     )(starts)
 
 
+def batch_inv(pec, d, inv_floor: int = 512):
+    """Montgomery product-tree inversion of (rows, n) nonzero planes:
+    ~3 muls per element + one single-block Fermat kernel on the root.
+    n must halve evenly down to inv_floor (callers pad; power-of-two n
+    always works).  Shared by the MSM reduction rounds and the fixed-base
+    SRS generator (ops/fixed_base.py).
+
+    inv_floor trades tree launches for Fermat lanes: the 256-iteration
+    exponent loop costs ~0.53 us/lane, so a 4096-wide root burned ~2 ms
+    per inversion (x22 per MSM).  Measured on v5e at 2^16 (profile_msm_r4):
+    floor 4096 -> 290 ms, 1024 -> 229 ms, 512 -> 221 ms (the pallas block
+    floor; lower just pads back up).  512 is the default."""
+    rows = d.shape[0]
+    levels = [d]
+    while levels[-1].shape[1] > inv_floor:
+        cur = levels[-1]
+        assert cur.shape[1] % 2 == 0, cur.shape
+        levels.append(pec.mul(cur[:, 0::2], cur[:, 1::2]))
+    inv = pec.inv(levels[-1])
+    for cur in levels[-2::-1]:
+        le, ro = cur[:, 0::2], cur[:, 1::2]
+        w = cur.shape[1] // 2
+        both = pec.mul(
+            jnp.concatenate([inv, inv], axis=1),
+            jnp.concatenate([ro, le], axis=1),
+        )
+        inv = jnp.stack([both[:, :w], both[:, w:]], axis=2).reshape(
+            rows, cur.shape[1]
+        )
+    return inv
+
+
 def quantize(n: int, floor: int = 512) -> int:
     """Round up into the quarter-power-of-two family {2^k * (4+i)/4}.
     Halving a family member stays in the family, so the product-tree levels
@@ -109,28 +141,8 @@ class AffineMSM:
         ~3 muls per element + one single-block Fermat kernel on the root.
         The unwind runs both per-level muls in one fused launch.
 
-        inv_floor trades tree launches for Fermat lanes: the 256-iteration
-        exponent loop costs ~0.53 us/lane, so a 4096-wide root burned ~2 ms
-        per inversion (x22 per MSM).  Measured on v5e at 2^16 (profile_msm_r4):
-        floor 4096 -> 290 ms, 1024 -> 229 ms, 512 -> 221 ms (the pallas block
-        floor; lower just pads back up).  512 is the default."""
-        levels = [d]
-        while levels[-1].shape[1] > self.inv_floor:
-            cur = levels[-1]
-            assert cur.shape[1] % 2 == 0, cur.shape
-            levels.append(self.pec.mul(cur[:, 0::2], cur[:, 1::2]))
-        inv = self.pec.inv(levels[-1])
-        for cur in levels[-2::-1]:
-            le, ro = cur[:, 0::2], cur[:, 1::2]
-            w = cur.shape[1] // 2
-            both = self.pec.mul(
-                jnp.concatenate([inv, inv], axis=1),
-                jnp.concatenate([ro, le], axis=1),
-            )
-            inv = jnp.stack([both[:, :w], both[:, w:]], axis=2).reshape(
-                self.rows, cur.shape[1]
-            )
-        return inv
+        See module-level `batch_inv` (shared with ops/fixed_base.py)."""
+        return batch_inv(self.pec, d, self.inv_floor)
 
     # -- one 4-ary reduction round --------------------------------------------
     def _pair_levels(self, parts, kseg, in_r, mn: int):

@@ -122,6 +122,49 @@ class XlaPEC:
         raise NotImplementedError("fused aggregate is pallas-only")
 
 
+class QuadXlaPEC(XlaPEC):
+    """Fq2 (G2) variant on stacked (32, N) planes — the XLA analog of
+    pallas_ec.QuadPallasEC, sharing `_F2` and the point-formula bodies."""
+
+    ROWS = 2 * NLIMB
+
+    def __init__(self, modulus: int):
+        super().__init__(modulus, 0)
+
+    @property
+    def _f(self):
+        from .pallas_ec import _F2
+
+        return _F2(_F(self._n, self._ninv, self._one))
+
+    def inv(self, x):
+        """Batched Fq2 inversion via the norm map: 1/(a+bu) =
+        (a - bu) / (a^2 + b^2) — one base-field Fermat loop
+        (pallas_ec.QuadPallasEC._inv_core semantics)."""
+        f2 = self._f
+        base = f2.b
+        x0, x1 = x[:NLIMB], x[NLIMB:]
+        nrm = base.add(base.sqr(x0), base.sqr(x1))
+        ebits = jnp.asarray(self._ebits)
+        one = jnp.broadcast_to(base.one_mont, nrm.shape)
+
+        def body(i, acc):
+            acc = base.sqr(acc)
+            mul = base.mont_mul(acc, nrm)
+            return jnp.where(ebits[i] != 0, mul, acc)
+
+        ninv = jax.lax.fori_loop(0, 256, body, one)
+        return jnp.concatenate(
+            [base.mont_mul(x0, ninv), base.mont_mul(base.neg(x1), ninv)],
+            axis=0,
+        )
+
+
 @functools.lru_cache(maxsize=None)
 def get_xla_pec(modulus: int, a_host_mod: int = 0) -> XlaPEC:
     return XlaPEC(modulus, a_host_mod)
+
+
+@functools.lru_cache(maxsize=None)
+def get_quad_xla_pec(modulus: int) -> QuadXlaPEC:
+    return QuadXlaPEC(modulus)
