@@ -561,7 +561,8 @@ def setup(r1cs: R1CS, rng: random.Random) -> ProvingKey:
     # only when gamma == 1).
     alpha, beta, delta, t = (rng.randrange(1, R) for _ in range(4))
     gamma = 1
-    dom = _domain_for(r1cs)
+    with timed("Groth16::setup domain"):
+        dom = _domain_for(r1cs)
     ninst = r1cs.num_instance
     nv = r1cs.num_vars
     if (
@@ -576,18 +577,19 @@ def setup(r1cs: R1CS, rng: random.Random) -> ProvingKey:
         g1_all, g2_all = _setup_fixed_base_device(
             r1cs, dom, alpha, beta, delta, t
         )
-        nh = dom.n - 1
-        a_query = g1_all[:nv]
-        b_g1_query = g1_all[nv : 2 * nv]
-        h_query = g1_all[2 * nv : 2 * nv + nh]
-        l_query = g1_all[2 * nv + nh : 2 * nv + nh + (nv - ninst)]
-        gamma_abc_g1 = g1_all[2 * nv + nh + (nv - ninst) : -3].to_list()
-        alpha_g1, beta_g1, delta_g1 = (g1_all[i] for i in range(-3, 0))
-        b_g2_query = g2_all[:nv]
-        beta_g2, gamma_g2, delta_g2 = (g2_all[i] for i in range(-3, 0))
-        vk = VerifyingKey(
-            alpha_g1, beta_g2, gamma_g2, delta_g1, delta_g2, gamma_abc_g1
-        )
+        with timed("Groth16::setup key assembly"):
+            nh = dom.n - 1
+            a_query = g1_all[:nv]
+            b_g1_query = g1_all[nv : 2 * nv]
+            h_query = g1_all[2 * nv : 2 * nv + nh]
+            l_query = g1_all[2 * nv + nh : 2 * nv + nh + (nv - ninst)]
+            gamma_abc_g1 = g1_all[2 * nv + nh + (nv - ninst) : -3].to_list()
+            alpha_g1, beta_g1, delta_g1 = (g1_all[i] for i in range(-3, 0))
+            b_g2_query = g2_all[:nv]
+            beta_g2, gamma_g2, delta_g2 = (g2_all[i] for i in range(-3, 0))
+            vk = VerifyingKey(
+                alpha_g1, beta_g2, gamma_g2, delta_g1, delta_g2, gamma_abc_g1
+            )
         return ProvingKey(
             vk, beta_g1, delta_g1, a_query, b_g1_query, b_g2_query,
             h_query, l_query,

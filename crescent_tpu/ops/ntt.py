@@ -116,7 +116,34 @@ class NTTDomain:
 
         # per-stage twiddles in Montgomery form: stage s has half=2^s,
         # twiddles w^(j * n / 2^(s+1)) for j in [0, 2^s)
+        def _native_powers():
+            try:
+                from ..native import backend as nb
+
+                return nb.powers if nb.available() else None
+            except Exception:
+                return None
+
+        npow = _native_powers() if n >= (1 << 12) else None
+
         def stage_twiddles(root):
+            if npow is not None:
+                # native geometric series per stage + ONE device Montgomery
+                # conversion over the concatenated (n-1, 16) plane: the
+                # per-element Python pow() path below costs ~90 s at 2^21
+                # (2M 254-bit exponentiations, measured round 5)
+                parts = [
+                    npow(p, pow(root, n >> (s + 1), p), 1, 1 << s)
+                    for s in range(self.logn)
+                ]
+                allv = np.concatenate(parts, axis=0)
+                mont = ctx.to_mont(limb.upload_limbs(limb.u64_to_limbs(allv)))
+                tw, off = [], 0
+                for s in range(self.logn):
+                    half = 1 << s
+                    tw.append(mont[off : off + half])
+                    off += half
+                return tw
             tw = []
             for s in range(self.logn):
                 half = 1 << s
