@@ -176,5 +176,24 @@ class ArrayPointVec:
     def to_list(self) -> list:
         return list(self)
 
+    def __eq__(self, other):
+        """Value equality against another vec or any point sequence — a
+        deserialized ProvingKey table must compare equal to the list it
+        was serialized from (tests/test_ark_serialize.py)."""
+        if isinstance(other, ArrayPointVec):
+            return (
+                self.g2 == other.g2
+                and np.array_equal(self.inf, other.inf)
+                and np.array_equal(self.xs, other.xs)
+                and np.array_equal(self.ys, other.ys)
+            )
+        if isinstance(other, (list, tuple)):
+            return len(self) == len(other) and all(
+                a == b for a, b in zip(self, other)
+            )
+        return NotImplemented
+
+    __hash__ = None  # mutable container semantics, like list
+
     def __repr__(self) -> str:  # pragma: no cover
         return f"ArrayPointVec(n={len(self)}, g2={self.g2})"
