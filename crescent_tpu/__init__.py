@@ -60,11 +60,21 @@ _cache_dir = _os.environ.get(
     "CRESCENT_TPU_JAX_CACHE",
     _os.path.expanduser("~/.cache/crescent_tpu_jax" + _suffix),
 )
+# CRESCENT_TPU_JAX_CACHE=0|off|none disables the persistent cache entirely.
+# The CI suite runs with it off: jaxlib's zstd (de)serialization path has
+# segfaulted three separate long-lived runs (round 4 write+read paths on
+# multi-device entries — bypassed since — and a round-5 crash inside a
+# single-device NTT compile in the same 8-virtual-device process), and on
+# XLA:CPU the big executables never persist anyway, so the suite pays the
+# in-process compile either way.  TPU bench/CLI processes keep it on.
+if _cache_dir.lower() in ("0", "off", "none", ""):
+    _cache_dir = None
 try:
-    _os.makedirs(_cache_dir, exist_ok=True)
-    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    if _cache_dir is not None:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 except Exception:  # cache is best-effort; never block math on it
     pass
 
