@@ -539,12 +539,20 @@ def _setup_fixed_base_device(r1cs, dom, alpha, beta, delta, t):
     ctx2 = get_g2_ctx()
     fb1 = FixedBaseMSM(ctx1)
     fb2 = FixedBaseMSM(ctx2)
-    with timed(f"Groth16::setup fixed-base G1 device ({sc_g1.shape[0]} pts)"):
+    # dispatch G1 then G2 before fetching either: the programs queue on the
+    # device in order, so the G1 result download overlaps the G2 compute
+    # (and the G2 table build/upload overlaps the G1 compute) instead of
+    # running back-to-back with synchronous fetches
+    with timed(f"Groth16::setup fixed-base G1 dispatch ({sc_g1.shape[0]} pts)"):
         t1 = fixed_base_mul(G1.generator, fb1.table_scalars())
-        g1_all = fb1.run(t1, sc_g1)
-    with timed(f"Groth16::setup fixed-base G2 device ({sc_g2.shape[0]} pts)"):
+        h1 = fb1.dispatch(t1, sc_g1)
+    with timed(f"Groth16::setup fixed-base G2 dispatch ({sc_g2.shape[0]} pts)"):
         t2 = fixed_base_mul(G2.generator(), fb2.table_scalars(), g2=True)
-        g2_all = fb2.run(t2, sc_g2)
+        h2 = fb2.dispatch(t2, sc_g2)
+    with timed("Groth16::setup fixed-base G1 fetch"):
+        g1_all = fb1.fetch(h1)
+    with timed("Groth16::setup fixed-base G2 fetch"):
+        g2_all = fb2.fetch(h2)
     assert nv + nv + (dom.n - 1) + (nv - ninst) + ninst + 3 == len(g1_all)
     return g1_all, g2_all
 

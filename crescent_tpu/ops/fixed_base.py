@@ -178,10 +178,12 @@ class FixedBaseMSM:
         return prog
 
     # -- entry --------------------------------------------------------------
-    def run(self, table_pts, scalar_limbs: np.ndarray) -> ArrayPointVec:
-        """scalar_limbs: (N, 16) sub-2^16 standard-form limbs (u16/u32),
-        scalars already reduced mod the group order.  Returns the affine
-        results as an ArrayPointVec (identity for scalar == 0)."""
+    def dispatch(self, table_pts, scalar_limbs: np.ndarray):
+        """Upload + enqueue the batch and return a handle immediately (JAX
+        dispatch is async).  Lets the caller overlap another group's program
+        with this one's result download — zksetup dispatches G1 then G2
+        before fetching either, hiding the ~620 MB affine downloads behind
+        the other program's compute (PERF.md round 5b zksetup note)."""
         n = int(scalar_limbs.shape[0])
         assert n > 0
         block = getattr(self.pec, "block", 1)
@@ -194,6 +196,11 @@ class FixedBaseMSM:
         tx, ty = self.table_planes(table_pts)
         SC = limb_mod.upload_limbs(sc).reshape(nchunks, ck, NLIMB)
         xa, ya, inf = self._get_prog(nchunks, ck)(tx, ty, SC)
+        return xa, ya, inf, n
+
+    def fetch(self, handle) -> ArrayPointVec:
+        """Blocking download of a dispatch() handle -> ArrayPointVec."""
+        xa, ya, inf, n = handle
         xs = np.asarray(jax.device_get(xa)).T[:n]  # (n, rows) u16
         ys = np.asarray(jax.device_get(ya)).T[:n]
         infh = np.asarray(jax.device_get(inf))[:n]
@@ -203,3 +210,9 @@ class FixedBaseMSM:
             infh,
             g2=self.rows != NLIMB,
         )
+
+    def run(self, table_pts, scalar_limbs: np.ndarray) -> ArrayPointVec:
+        """scalar_limbs: (N, 16) sub-2^16 standard-form limbs (u16/u32),
+        scalars already reduced mod the group order.  Returns the affine
+        results as an ArrayPointVec (identity for scalar == 0)."""
+        return self.fetch(self.dispatch(table_pts, scalar_limbs))
