@@ -6,15 +6,34 @@
 //   popup   'prepare'      -> POST client-helper /prepare, poll /status
 //                             until the slow Groth16 prove finishes, cache
 //                             ShowData, mark PREPARED
-//   popup   'disclose'     -> GET client-helper /show (server-side show;
-//                             the reference's wasm in-browser prover is the
-//                             other mode, creds/src/wasm_lib.rs:46), then
-//                             hand the proof to the content script to POST
-//                             to the verifier page's crescent_verify_url.
+//   popup   'disclose'     -> build the show proof and hand it to the
+//                             content script to POST to the verifier page's
+//                             crescent_verify_url.  Two modes, matching the
+//                             reference (creds/src/wasm_lib.rs:46 in-browser
+//                             vs client_helper main.rs:271 server-side):
+//                             config.clientHelperShowProof=false proves
+//                             IN-BROWSER via crypto/show.js (the credential
+//                             never leaves the extension after prepare);
+//                             =true asks client-helper GET /show.
 
 import config from './config.js'
 import * as helper from './clientHelper.js'
 import { putCred, getCred, allCreds, removeCred } from './store.js'
+// side-effect imports: define globalThis.CrescentCrypto / BN254 / CrescentShow
+// (plain-script modules shared with the file:// golden-vector test pages)
+import './crypto/crypto.js'
+import './crypto/bn254.js'
+import './crypto/show.js'
+
+// sample/common.py disc_uid_to_proof_spec — the default spec when the
+// verifier page has no crescent_proof_spec meta tag
+function defaultProofSpec (discUid) {
+  if (discUid === 'crescent://email_domain') return '{"revealed": ["email"]}'
+  if (discUid === 'crescent://selective_disclosure') return '{"revealed": ["family_name"]}'
+  const m = /^crescent:\/\/over_(\d+)$/.exec(discUid)
+  if (m) return `{"revealed": [], "range_over_year": {"birth_date": ${m[1]}}}`
+  throw new Error(`unknown disclosure uid ${discUid}`)
+}
 
 async function handleImport (msg) {
   const id = await sha256hex(msg.jwt)
@@ -44,6 +63,7 @@ async function handlePrepare (id) {
     async () => {
       if (!config.clientHelperShowProof) {
         cred.showData = await helper.getShowData(credUid)
+        cred.ioLocations = await helper.getIoLocations()
       }
       cred.status = 'PREPARED'
       await putCred(cred)
@@ -57,12 +77,35 @@ async function handlePrepare (id) {
   return credUid
 }
 
+// In-browser show (wasm_lib.rs:46 semantics): the cached ShowData blob is
+// split into client state + range pk and proved locally with crypto/show.js.
+// Returns null when this credential needs the server-side path (mdl /
+// device-bound shows are not ported yet — crypto/README.md scope note).
+function localShowProof (cred, disclosure) {
+  const sd = CrescentShow.splitShowData(cred.showData)
+  if (sd.credtype === 'mdl' || sd.deviceBound) return null
+  const specStr = disclosure.proofSpec
+    ? null : defaultProofSpec(disclosure.uid)
+  const proofSpecB64 = disclosure.proofSpec ||
+    CrescentCrypto.toB64url(new TextEncoder().encode(specStr))
+  return CrescentShow.createShowProofClient(
+    sd.clientStateB64url, sd.rangePkB64url, cred.ioLocations,
+    disclosure.uid, disclosure.challenge, proofSpecB64
+  )
+}
+
 async function handleDisclose (id, disclosure) {
   const cred = await getCred(id)
   if (!cred || cred.status !== 'PREPARED') throw new Error('credential not prepared')
-  const proof = await helper.show(
-    cred.credUid, disclosure.uid, disclosure.challenge, disclosure.proofSpec || null
-  )
+  let proof = null
+  if (!config.clientHelperShowProof && cred.showData && cred.ioLocations) {
+    proof = localShowProof(cred, disclosure)
+  }
+  if (proof === null) {
+    proof = await helper.show(
+      cred.credUid, disclosure.uid, disclosure.challenge, disclosure.proofSpec || null
+    )
+  }
   // deliver to the active tab's content script, which POSTs to the verifier
   const [tab] = await chrome.tabs.query({ active: true, currentWindow: true })
   if (tab) {

@@ -52,6 +52,15 @@ export async function getShowData (credUid) {
   return await response.text() // b64url ShowData blob
 }
 
+export async function getIoLocations () {
+  // io_locations.sym from the setup service's shared-params tree
+  // (reference: sample/setup_service static file serving; the verifier
+  // gets the same string inside /verifier_params)
+  const response = await fetch(`${config.setupUrl}/prove_params/io_locations.sym`)
+  if (!response.ok) throw new Error(`io_locations fetch failed (${response.status})`)
+  return await response.text()
+}
+
 export async function show (credUid, discUid, challenge, proofSpecB64) {
   const qs = new URLSearchParams({ cred_uid: credUid, disc_uid: discUid, challenge })
   if (proofSpecB64) qs.set('proof_spec', proofSpecB64)

@@ -9,9 +9,11 @@ export default {
   pollInterval: 5000,
   // true  -> ask the client helper to build the show proof (GET /show),
   //          the reference's server-side fallback (client_helper main.rs:271).
-  // false -> fetch ShowData after prepare and prove in-client; requires a
-  //          browser prover build, which the TPU-native stack does not ship
-  //          (the reference compiles its Rust show path to wasm;
-  //          creds/src/wasm_lib.rs:46).  Kept for parity of the flow shape.
+  // false -> fetch ShowData once after prepare and prove IN-BROWSER via
+  //          crypto/show.js (the reference's wasm_lib.rs:46 mode as vanilla
+  //          JS; golden-vector tested against client.py — see
+  //          crypto/README.md).  The credential then never leaves the
+  //          extension after prepare.  mdl / device-bound shows
+  //          auto-fall-back to the helper (not ported in-browser yet).
   clientHelperShowProof: true
 }

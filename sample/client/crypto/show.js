@@ -534,6 +534,23 @@ function contextJson(psi) {
 // create_show_proof_client (client.py / wasm_lib.rs:46-159)
 // ---------------------------------------------------------------------------
 
+// client_helper's GET /getshowdata returns ONE b64url blob of
+// ser_client_state || ser_range_proof_pk (services.py _showdata_b64url,
+// mirroring client_helper main.rs:259).  Re-split it at the ark boundary
+// into the two arguments createShowProofClient takes; `credtype` lets the
+// caller route mdl/device-bound shows back to client_helper.
+function splitShowData(showDataB64url) {
+  const buf = fromB64url(showDataB64url);
+  const r = new Reader(buf);
+  const cs = deserClientState(r);
+  return {
+    clientStateB64url: toB64url(buf.slice(0, r.pos)),
+    rangePkB64url: toB64url(buf.slice(r.pos)),
+    credtype: cs.credtype,
+    deviceBound: /"device_bound"\s*:\s*true/.test(cs.configStr),
+  };
+}
+
 function createShowProofClient(
   clientStateB64url, rangePkB64url, ioLocationsStr, discUid, challenge,
   proofSpecB64url, opts
@@ -624,6 +641,7 @@ const CrescentShow = {
   Reader, Writer, deserClientState, deserRangeProofPK, serShowProof,
   Poly, kzgCommit, kzgOpen, dlogProve, proveNBits, rerandomizeProof,
   showGroth16, proofSpecInternal, contextJson, createShowProofClient,
+  splitShowData,
 };
 if (typeof module !== "undefined") module.exports = CrescentShow;
 if (typeof globalThis !== "undefined") globalThis.CrescentShow = CrescentShow;

@@ -201,7 +201,10 @@ def test_extension_manifest_and_sources():
         assert name in src, name
 
 
-def test_extension_flow_against_live_services(stack):
+@pytest.fixture(scope="module")
+def prepared(stack):
+    """content.js scan + background.js handlePrepare: import the issuer
+    page's credential and run the slow /prepare once for the module."""
     ports = stack
     issuer = f"http://127.0.0.1:{ports['issuer']}"
     helper = f"http://127.0.0.1:{ports['helper']}"
@@ -212,12 +215,6 @@ def test_extension_flow_against_live_services(stack):
     jwt = _get_named_meta(metas, "CRESCENT_JWT")
     assert jwt
     schema_uid = _get_named_meta(metas, "CRESCENT_SCHEMA_UID") or "jwt_corporate_1"
-
-    # the checked-in issuer test page exposes the same tag names
-    ipage = open(os.path.join(_CLIENT_DIR, "test", "issuer.html")).read()
-    imetas = _meta_tags(ipage)
-    assert _get_named_meta(imetas, "CRESCENT_JWT")
-    assert _get_named_meta(imetas, "CRESCENT_SCHEMA_UID") == "jwt_corporate_1"
 
     # -- background.js handlePrepare: POST /prepare + /status poll ---------
     uid = _post(helper + "/prepare", {"cred": jwt, "schema_uid": schema_uid})[
@@ -231,6 +228,20 @@ def test_extension_flow_against_live_services(stack):
             break
         time.sleep(2)
     assert status == "ready"
+    return uid
+
+
+def test_extension_flow_against_live_services(stack, prepared):
+    ports = stack
+    uid = prepared
+
+    # the checked-in issuer test page exposes the same tag names
+    ipage = open(os.path.join(_CLIENT_DIR, "test", "issuer.html")).read()
+    imetas = _meta_tags(ipage)
+    assert _get_named_meta(imetas, "CRESCENT_JWT")
+    assert _get_named_meta(imetas, "CRESCENT_SCHEMA_UID") == "jwt_corporate_1"
+
+    helper = f"http://127.0.0.1:{ports['helper']}"
 
     # -- content.js queryDisclosureRequest on the test verifier page -------
     vpage = open(os.path.join(_CLIENT_DIR, "test", "verifier.html")).read()
@@ -251,6 +262,59 @@ def test_extension_flow_against_live_services(stack):
     res = _post(
         target,
         {"proof": proof, "proof_spec": proof_spec, "challenge": challenge},
+    )
+    assert res["verified"] is True
+    assert json.loads(res["revealed"])["email_value"] == "contoso.com"
+
+
+def test_in_browser_show_mode(stack, prepared):
+    """The extension's clientHelperShowProof=false mode (background.js
+    localShowProof): cache ShowData + io_locations after prepare, split the
+    blob at the ark boundary (crypto/show.js splitShowData), prove the show
+    IN-CLIENT with client.py (the JS prover's golden-vector-locked mirror,
+    wasm_lib.rs:46 semantics), and have the live verifier accept it."""
+    from crescent_tpu import client
+    from crescent_tpu.utils import ark
+    from crescent_tpu.utils.serialize import from_b64url, to_b64url
+
+    ports = stack
+    helper = f"http://127.0.0.1:{ports['helper']}"
+    setup = f"http://127.0.0.1:{ports['setup']}"
+    verifier = f"http://127.0.0.1:{ports['verifier']}"
+    uid = prepared
+
+    # background.js handlePrepare caches these once, after /status=ready
+    blob = _get(helper + f"/getshowdata?cred_uid={uid}").decode()
+    io_locations_str = _get(setup + "/prove_params/io_locations.sym").decode()
+    assert "email_domain" in io_locations_str or "email" in io_locations_str
+
+    # crypto/show.js splitShowData: one b64url blob -> client_state | range_pk
+    raw = from_b64url(blob)
+    r = ark.Reader(raw)
+    cs = ark.deser_client_state(r)
+    assert 0 < r.pos < len(raw)
+    assert cs.credtype == "jwt"  # mdl/device-bound would fall back to /show
+    cs_b64, pk_b64 = to_b64url(raw[: r.pos]), to_b64url(raw[r.pos :])
+
+    # content.js queryDisclosureRequest on a LIVE verifier page (fresh
+    # challenge — the static test page's was consumed by the flow test)
+    vpage = _get(verifier + "/login").decode()
+    vmetas = _meta_tags(vpage)
+    disc_uid = _get_meta_tag(vmetas, "crescent_disclosure_uid")
+    challenge = _get_meta_tag(vmetas, "crescent_challenge")
+    verify_url = verifier + _get_meta_tag(vmetas, "crescent_verify_url")
+
+    # background.js defaultProofSpec(disc_uid) when the page has no
+    # crescent_proof_spec meta (sample/common.py is the Python source)
+    spec_b64 = to_b64url(common.disc_uid_to_proof_spec(disc_uid).encode())
+
+    proof = client.create_show_proof_client(
+        cs_b64, pk_b64, io_locations_str, disc_uid, challenge, spec_b64
+    )
+
+    # content.js send-proof -> POST to the page's verify URL
+    res = _post(
+        verify_url, {"proof": proof, "proof_spec": None, "challenge": challenge}
     )
     assert res["verified"] is True
     assert json.loads(res["revealed"])["email_value"] == "contoso.com"
