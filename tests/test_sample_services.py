@@ -199,6 +199,17 @@ def test_extension_manifest_and_sources():
         "crescent_disclosure_uid", "crescent_challenge", "crescent_proof_spec",
     ):
         assert name in src, name
+    # in-browser show wiring (background.js localShowProof mode): the
+    # service worker must load the crypto modules and use the splitter the
+    # golden-vector pages exercise
+    bg = open(os.path.join(_CLIENT_DIR, "background.js")).read()
+    for frag in (
+        "./crypto/show.js", "splitShowData", "createShowProofClient",
+        "clientHelperShowProof", "getIoLocations",
+    ):
+        assert frag in bg, frag
+    show_src = open(os.path.join(_CLIENT_DIR, "crypto", "show.js")).read()
+    assert "splitShowData," in show_src  # exported on CrescentShow
 
 
 @pytest.fixture(scope="module")
