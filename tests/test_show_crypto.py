@@ -139,3 +139,33 @@ def test_range_proof_wrong_commitment_rejected(range_setup):
     proof = rangeproof.prove_n_bits(ped, 32, pk.powers, rng=rng)
     other = dlog.pedersen_commit(1234, bases, rng=rng)  # different blinding
     assert not rangeproof.verify_n_bits(proof, other.c, bases, 32, vk, rng=rng)
+
+
+def test_showdata_split_boundary():
+    """crypto/show.js splitShowData: client_helper's /getshowdata blob is
+    ser_client_state || ser_range_proof_pk in ONE b64url string
+    (services.py _showdata_b64url, client_helper main.rs:259); the
+    in-browser prover re-splits it by deserializing the client state and
+    cutting at the reader position.  Validate that boundary logic against
+    the checked-in golden vectors (whose JS mirror is byte-locked)."""
+    import json
+    import os
+
+    from crescent_tpu.utils import ark
+    from crescent_tpu.utils.serialize import from_b64url
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "sample", "client", "test", "show_vectors.json",
+    )
+    vectors = json.load(open(path))
+    assert vectors["cases"], "golden vectors missing"
+    for case in vectors["cases"]:
+        cs_b = from_b64url(case["client_state_b64url"])
+        pk_b = from_b64url(case["range_pk_b64url"])
+        blob = cs_b + pk_b
+        r = ark.Reader(blob)
+        cs = ark.deser_client_state(r)
+        assert r.pos == len(cs_b), "ark boundary drifted from ser_client_state"
+        assert blob[: r.pos] == cs_b and blob[r.pos :] == pk_b
+        assert cs.credtype in ("jwt", "mdl")
