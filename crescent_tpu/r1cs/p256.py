@@ -30,7 +30,6 @@ from __future__ import annotations
 import functools
 
 from ..core.curves import P256
-from ..core.fields import BN254_FR as R
 from .builder import LC, ConstraintSystem, Var
 
 LIMB = 43     # CIRCOM_P256_LIMB_BITS

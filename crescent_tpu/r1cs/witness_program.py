@@ -28,7 +28,6 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from ..core.fields import BN254_FR
 
 # op kinds (shared with the native executor)
 OP_SOLVE_C = 0     # out = (evalA * evalB - evalCrest) * inv_coeff

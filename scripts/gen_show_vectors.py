@@ -31,7 +31,6 @@ from crescent_tpu.credentials.prep_inputs import (  # noqa: E402
     parse_config,
     prepare_prover_inputs,
 )
-from crescent_tpu.credentials.structs import IOLocations  # noqa: E402
 from crescent_tpu.utils import jwt as jwtutil  # noqa: E402
 from crescent_tpu.utils import ark  # noqa: E402
 from crescent_tpu.utils.serialize import to_b64url, from_b64url  # noqa: E402

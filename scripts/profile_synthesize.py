@@ -8,7 +8,6 @@ Usage: python scripts/profile_synthesize.py [--profile]
 
 import cProfile
 import io
-import json
 import os
 import pstats
 import sys
@@ -20,7 +19,6 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
-from crescent_tpu.credentials import api  # noqa: E402
 from crescent_tpu.credentials.circuits import JWTFrontend  # noqa: E402
 from crescent_tpu.credentials.prep_inputs import (  # noqa: E402
     parse_config,

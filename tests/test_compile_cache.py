@@ -13,7 +13,6 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from crescent_tpu.utils import compile_cache as cc_mod
 

@@ -6,7 +6,6 @@ zksetup path compiles (ops/fixed_base.py)."""
 
 import random
 
-import numpy as np
 
 from crescent_tpu.core.curves import BN254G2
 from crescent_tpu.models.groth16 import G1, fixed_base_mul

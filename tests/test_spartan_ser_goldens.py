@@ -20,8 +20,6 @@ asserts the verifier rejects corruption at every field boundary of a real
 proof.
 """
 
-import random
-import zlib
 
 import pytest
 
